@@ -1,0 +1,39 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip sharding code is validated without TPU hardware via
+``xla_force_host_platform_device_count`` (the fake-backend capability the
+reference lacks — SURVEY.md §4). Must run before the first ``import jax``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_ASSETS = "/root/reference/public/assets"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
+
+
+@pytest.fixture(scope="session")
+def steve_glb_path():
+    p = os.path.join(REFERENCE_ASSETS, "steve.glb")
+    if not os.path.exists(p):
+        pytest.skip("reference steve.glb not available")
+    return p
+
+
+@pytest.fixture(scope="session")
+def dodecahedron_glb_path():
+    p = os.path.join(REFERENCE_ASSETS, "dodecahedron.glb")
+    if not os.path.exists(p):
+        pytest.skip("reference dodecahedron.glb not available")
+    return p
