@@ -7,10 +7,17 @@ reference lacks — SURVEY.md §4). Must run before the first ``import jax``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize imports jax at interpreter start (before this
+# conftest), so the JAX_PLATFORMS env var is already latched — override via
+# the config API, which works as long as no backend has been initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
