@@ -1,0 +1,81 @@
+"""ctypes bindings for the native BVH tooling (lib/libbvhtool.so).
+
+Gives the host runtime the C++ fast paths for the two wideners when the
+shared library is built (``raytracer_tpu/native/build.sh``); callers fall
+back to the pure-Python oracles otherwise. This mirrors the reference's
+split: a JS (host) collapse for the live pipeline + a native offline tool
+(test.cpp) — here both native entry points live in one library.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_LIB_PATHS = [
+    _REPO_ROOT / "lib" / "libbvhtool.so",
+]
+
+NODE4_STRIDE = 8
+
+
+def _load_lib():
+    for p in _LIB_PATHS:
+        if p.exists():
+            lib = ctypes.CDLL(str(p))
+            lib.bvh_promote_wide.restype = ctypes.c_uint32
+            lib.bvh_promote_wide.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.bvh_collapse4.restype = ctypes.c_uint32
+            lib.bvh_collapse4.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
+            return lib
+    return None
+
+
+_lib = _load_lib()
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def _as_u32_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def promote_wide_native(bvh2_buf: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """BVH2 artifact image → BVH4_wide image via the C++ O(N) promotion.
+    Returns (bvh4_buf, leaf_count, internal_count)."""
+    if _lib is None:
+        raise RuntimeError("libbvhtool.so not built — run raytracer_tpu/native/build.sh")
+    bvh2_buf = np.ascontiguousarray(bvh2_buf, dtype=np.uint32)
+    m = int(bvh2_buf[0])
+    out = np.zeros(1 + m * NODE4_STRIDE, dtype=np.uint32)
+    leaves = ctypes.c_uint64(0)
+    internals = ctypes.c_uint64(0)
+    _lib.bvh_promote_wide(
+        _as_u32_ptr(bvh2_buf), _as_u32_ptr(out), ctypes.byref(leaves), ctypes.byref(internals)
+    )
+    return out, leaves.value, internals.value
+
+
+def collapse4_native(bvh2_buf: np.ndarray) -> np.ndarray:
+    """BVH2 artifact image → collapsed BVH4 image via the C++ greedy
+    re-emission collapse. Output trimmed to the emitted node count."""
+    if _lib is None:
+        raise RuntimeError("libbvhtool.so not built — run raytracer_tpu/native/build.sh")
+    bvh2_buf = np.ascontiguousarray(bvh2_buf, dtype=np.uint32)
+    m = int(bvh2_buf[0])
+    out = np.zeros(1 + m * NODE4_STRIDE, dtype=np.uint32)
+    n4 = int(_lib.bvh_collapse4(_as_u32_ptr(bvh2_buf), _as_u32_ptr(out)))
+    return out[: 1 + n4 * NODE4_STRIDE]

@@ -1,0 +1,145 @@
+"""BVH2→BVH4 widener tests: device collapse vs host oracle, toy trees,
+promotion parity."""
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.io import artifacts
+from raytracer_tpu.ops.collapse import (
+    INVALID,
+    LEAF_FLAG,
+    collapse_lbvh2_to_bvh4,
+    promote_lbvh2_to_bvh4_wide,
+)
+from raytracer_tpu.ops.lbvh import LBVH2, build_lbvh2
+from raytracer_tpu.reference.collapse_oracle import collapse_oracle, promote_wide_oracle
+from raytracer_tpu.utils import procgen
+from raytracer_tpu.utils.fp16 import pack_bounds_u32, unpack_bounds_u32
+
+
+def _random_tris(rng, n):
+    v0 = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    e = rng.uniform(-0.4, 0.4, (n, 2, 3)).astype(np.float32)
+    return np.stack([v0, v0 + e[:, 0], v0 + e[:, 1]], axis=1)
+
+
+def _toy_tree():
+    """Hand-built 9-node BVH2 (the test2.py-style toy): root, two internals,
+    one deeper internal, 5 leaves. Node ids: 0=root(1,2), 1=(3,5), 2=(6,7),
+    3=(4,8) internal, rest leaves."""
+    mn = np.zeros((9, 3), np.float32)
+    mx = np.ones((9, 3), np.float32)
+    bounds = pack_bounds_u32(mn, mx)
+    left = np.array([1, 3, 6, 4, 0, 0, 0, 0, 0], np.uint32)
+    right = np.array([2, 5, 7, 8, 0, 0, 0, 0, 0], np.uint32)
+    meta = np.array(
+        [0, 0, 0, 0] + [LEAF_FLAG | t for t in (0, 1, 2, 3, 4)], np.uint32
+    )
+    return bounds, left, right, meta
+
+
+def test_oracle_toy_tree_structure():
+    bounds, left, right, meta = _toy_tree()
+    b4, c4, m4 = collapse_oracle(bounds, left, right, meta)
+    # greedy: root kids = expand 1 → [3, 5, 2] → expand 3 → [4, 8, 5, 2];
+    # BVH2 nodes 1 and 3 contract away → 7 BVH4 nodes in pre-order
+    assert len(m4) == 7
+    assert (m4[0] & LEAF_FLAG) == 0
+    assert list(c4[0]) == [1, 2, 3, 4]
+    assert m4[1] == (LEAF_FLAG | 0)  # bvh2 leaf 4 holds tri 0
+    assert m4[2] == (LEAF_FLAG | 4)  # bvh2 leaf 8 holds tri 4
+    assert m4[3] == (LEAF_FLAG | 1)  # bvh2 leaf 5 holds tri 1
+    assert (m4[4] & LEAF_FLAG) == 0  # bvh2 node 2 stays internal
+    assert list(c4[4][:2]) == [5, 6] and c4[4][2] == INVALID
+    assert m4[5] == (LEAF_FLAG | 2) and m4[6] == (LEAF_FLAG | 3)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 7, 33, 100, 257])
+def test_device_collapse_matches_oracle(rng, n):
+    tris = _random_tris(rng, n)
+    bvh2 = build_lbvh2(tris)
+    b2 = np.asarray(bvh2.bounds_u32)
+    l2, r2, m2 = np.asarray(bvh2.left), np.asarray(bvh2.right), np.asarray(bvh2.meta)
+
+    want_b, want_c, want_m = collapse_oracle(b2, l2, r2, m2)
+    got = collapse_lbvh2_to_bvh4(bvh2)
+    n4 = int(got.num_nodes)
+    assert n4 == len(want_m)
+    np.testing.assert_array_equal(np.asarray(got.meta)[:n4], want_m)
+    np.testing.assert_array_equal(np.asarray(got.children)[:n4], want_c)
+    np.testing.assert_array_equal(np.asarray(got.bounds_u32)[:n4], want_b)
+
+
+def test_device_promote_matches_oracle(rng):
+    tris = _random_tris(rng, 150)
+    bvh2 = build_lbvh2(tris)
+    b2 = np.asarray(bvh2.bounds_u32)
+    l2, r2, m2 = np.asarray(bvh2.left), np.asarray(bvh2.right), np.asarray(bvh2.meta)
+    want_b, want_c, want_m = promote_wide_oracle(b2, l2, r2, m2)
+    got = promote_lbvh2_to_bvh4_wide(bvh2)
+    assert int(got.num_nodes) == len(m2)
+    np.testing.assert_array_equal(np.asarray(got.bounds_u32), want_b)
+    np.testing.assert_array_equal(np.asarray(got.children), want_c)
+    np.testing.assert_array_equal(np.asarray(got.meta), want_m)
+
+
+def _check_bvh4_invariants(b4, c4, m4, n_tris):
+    n4 = len(m4)
+    leaf = (m4 & LEAF_FLAG) != 0
+    # every tri in exactly one leaf
+    tris = np.sort(m4[leaf] & 0x7FFFFFFF)
+    np.testing.assert_array_equal(tris, np.arange(n_tris, dtype=np.uint32))
+    # children of internal nodes are valid, unique, and form a tree rooted at 0
+    seen = np.zeros(n4, bool)
+    seen[0] = True
+    internal_children = c4[~leaf]
+    valid = internal_children[internal_children != INVALID]
+    assert valid.max(initial=0) < n4
+    assert len(np.unique(valid)) == len(valid)
+    np.testing.assert_array_equal(np.sort(valid), np.arange(1, n4, dtype=np.uint32))
+    # leaves have no children
+    assert np.all(c4[leaf] == INVALID)
+    # parent bounds contain child bounds
+    mn, mx = unpack_bounds_u32(b4)
+    pidx = np.repeat(np.arange(n4)[~leaf], 4)
+    cidx = internal_children.reshape(-1)
+    ok = cidx != INVALID
+    pidx, cidx = pidx[ok], cidx[ok].astype(np.int64)
+    assert np.all(mn[pidx] <= mn[cidx] + 1e-6)
+    assert np.all(mx[pidx] >= mx[cidx] - 1e-6)
+
+
+def test_collapse_invariants_icosphere():
+    tris = procgen.make_icosphere(3)
+    bvh4 = collapse_lbvh2_to_bvh4(build_lbvh2(tris))
+    n4 = int(bvh4.num_nodes)
+    _check_bvh4_invariants(
+        np.asarray(bvh4.bounds_u32)[:n4],
+        np.asarray(bvh4.children)[:n4],
+        np.asarray(bvh4.meta)[:n4],
+        len(tris),
+    )
+
+
+def test_bvh4_artifact_roundtrip(rng):
+    tris = _random_tris(rng, 64)
+    bvh4 = collapse_lbvh2_to_bvh4(build_lbvh2(tris))
+    n4 = int(bvh4.num_nodes)
+    buf = artifacts.bvh4_to_u32(
+        np.asarray(bvh4.bounds_u32)[:n4],
+        np.asarray(bvh4.children)[:n4],
+        np.asarray(bvh4.meta)[:n4],
+    )
+    assert buf[0] == n4
+    b, c, m = artifacts.bvh4_from_u32(buf)
+    np.testing.assert_array_equal(b, np.asarray(bvh4.bounds_u32)[:n4])
+    np.testing.assert_array_equal(c, np.asarray(bvh4.children)[:n4])
+    np.testing.assert_array_equal(m, np.asarray(bvh4.meta)[:n4])
+
+
+def test_single_triangle_collapse(rng):
+    tris = _random_tris(rng, 1)
+    bvh4 = collapse_lbvh2_to_bvh4(build_lbvh2(tris))
+    assert int(bvh4.num_nodes) == 1
+    assert int(np.asarray(bvh4.meta)[0]) == LEAF_FLAG | 0
+    assert np.all(np.asarray(bvh4.children)[0] == INVALID)
