@@ -1,0 +1,128 @@
+"""Headless app entry — the analog of the reference browser app (src/main.js).
+
+Flow preserved: construct tracer + FPS camera, load a GLB normalized to the
+unit cube, one-time BVH2 artifact dump over HTTP to the sidecar API (graceful
+on failure, src/main.js:27-46), then the frame loop: camera update → UBO
+setters → render, with a 1 Hz FPS readout. Headless differences: a fixed
+number of frames, a scripted camera path instead of pointer lock, and the
+last frame written as PNG.
+
+Usage:
+  python apps/main.py [--glb PATH | --scene icosphere|cornell|dragon]
+                      [--frames N] [--width W] [--height H] [--out out.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import os
+
+if os.environ.get("RT_CPU"):  # force CPU backend (env JAX_PLATFORMS is
+    import jax                # latched before we run — override via config)
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from raytracer_tpu import FPSCamera, PathTracer, Scene
+from raytracer_tpu.utils import procgen
+from raytracer_tpu.utils.image import write_png
+
+
+def _load_scene(args) -> Scene:
+    if args.glb:
+        return Scene().load_glb(args.glb, normalize=True, mode="cube")
+    tris = {
+        "icosphere": lambda: procgen.make_icosphere(5),
+        "cornell": procgen.make_cornell_box,
+        "dragon": procgen.make_dragon_stand_in,
+    }[args.scene]()
+    s = Scene().set_triangles(tris)
+    s._normalize_enabled, s._normalize_mode = True, "cube"
+    s.normalize_mesh()
+    return s
+
+
+def _dump_bvh2(tracer: PathTracer, api_url: str) -> None:
+    """One-time artifact dump (src/main.js:27-46 analog)."""
+    buf = tracer.bvh2_artifact()
+    try:
+        req = urllib.request.Request(
+            f"{api_url}/api/write",
+            data=buf.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=2) as resp:
+            print(f"[app] BVH2 dump: {resp.read().decode()}")
+    except Exception as e:  # the reference logs and continues (main.js:42-44)
+        print(f"[app] BVH2 dump skipped ({e})")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--glb", default=None)
+    ap.add_argument("--scene", default="icosphere",
+                    choices=["icosphere", "cornell", "dragon"])
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--out", default="data/frame.png")
+    ap.add_argument("--api", default="http://127.0.0.1:3000")
+    ap.add_argument("--orbit", action="store_true", help="orbit camera path")
+    args = ap.parse_args(argv)
+
+    scene = _load_scene(args)
+    print(f"[app] scene: {scene.num_triangles} triangles")
+
+    tracer = PathTracer(width=args.width, height=args.height)
+    camera = FPSCamera(position=(0.0, 0.0, 3.5))
+    tracer.set_scene(scene)
+    _dump_bvh2(tracer, args.api)
+
+    import jax
+
+    last_report = time.perf_counter()
+    frames_since = 0
+    img = None
+    t_prev = time.perf_counter()
+    for frame in range(args.frames):
+        now = time.perf_counter()
+        dt = now - t_prev
+        t_prev = now
+
+        if args.orbit:
+            camera.move_mouse(120.0 * dt / 0.002 * 0.02, 0.0)
+        camera.update(dt)
+
+        p, q = camera.position, camera.rotation
+        tracer.set_camera_position(float(p[0]), float(p[1]), float(p[2]))
+        tracer.set_camera_quaternion(float(q[0]), float(q[1]), float(q[2]), float(q[3]))
+        tracer.set_frame_count(frame)
+
+        img = tracer.render()
+        np.asarray(img[0, 0])  # force frame completion for honest pacing
+
+        frames_since += 1
+        if now - last_report >= 1.0:
+            fps = frames_since / (now - last_report)
+            rays = fps * args.width * args.height
+            print(f"[app] {fps:6.1f} FPS  ({rays/1e6:7.1f} Mrays/s)")
+            last_report, frames_since = now, 0
+
+    if img is not None:
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        write_png(out, np.asarray(img))
+        print(f"[app] wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

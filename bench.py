@@ -1,0 +1,152 @@
+"""Benchmark harness — one JSON line for the driver, detail on stderr.
+
+Headline metric (BASELINE.md): Mrays/s per chip on the Dragon-benchmark
+scene (Stanford Dragon is stripped from the mirror, so the substitute is the
+deterministic 871,200-triangle displaced trefoil — procgen.make_dragon_stand_in)
+at 1920×1080, 1 primary ray per pixel. vs_baseline is against the
+reference's ~75 Mrays/s (Intel UHD 600, README.md:74-80 → BASELINE.md).
+
+Timing is honest against async runtimes: every timed frame ends with a
+device→host pull of the hit plane, and distinct camera args defeat any
+execution caching.
+
+Usage: python bench.py [--quick] [--frames N] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+BASELINE_MRAYS = 75.0  # reference iGPU, BASELINE.md
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small scene/resolution (smoke test)")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from raytracer_tpu.models.scene import Scene
+    from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
+    from raytracer_tpu.ops.lbvh import build_lbvh2
+    from raytracer_tpu.ops.trace import make_wide_bvh
+    from raytracer_tpu.utils import procgen
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+    log(f"[bench] backend={backend} devices={jax.devices()}")
+
+    if args.quick or not on_tpu:
+        tris_np = procgen.make_icosphere(4)
+        width, height = 512, 512
+    else:
+        tris_np = procgen.make_dragon_stand_in()
+        width, height = args.width, args.height
+
+    scene = Scene().set_triangles(tris_np)
+    scene._normalize_enabled, scene._normalize_mode = True, "cube"
+    scene.normalize_mesh()
+    tris = jnp.asarray(scene.triangles)
+    log(f"[bench] scene: {scene.num_triangles} tris, {width}x{height}")
+
+    t0 = time.perf_counter()
+    bvh2 = build_lbvh2(tris)
+    jax.block_until_ready(bvh2.bounds_u32)
+    t1 = time.perf_counter()
+    bvh4 = collapse_lbvh2_to_bvh4(bvh2)
+    wide = make_wide_bvh(bvh4)
+    build_s = None
+
+    cam_pos0 = np.array([0.0, 0.0, 2.5], np.float32)
+    cam_quat = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+
+    if on_tpu:
+        from raytracer_tpu.ops.pallas.traverse import TILE, make_qnodes, trace_tiles_pallas
+
+        qn = make_qnodes(wide, tris)
+        jax.block_until_ready(qn)
+        build_s = time.perf_counter() - t0
+        pw = -(-width // TILE) * TILE
+        ph = -(-height // TILE) * TILE
+
+        def frame(i):
+            pos = cam_pos0 + np.array([1e-4 * i, 0, 0], np.float32)
+            out = trace_tiles_pallas(qn, pos, cam_quat, pw, ph)
+            return np.asarray(out[4])  # host pull forces completion
+    else:
+        from raytracer_tpu.render import render_ldr
+
+        jax.block_until_ready(wide.cmn)
+        build_s = time.perf_counter() - t0
+
+        def frame(i):
+            pos = cam_pos0 + np.array([1e-4 * i, 0, 0], np.float32)
+            rgb, t, tri = render_ldr(wide, tris, pos, cam_quat, width, height)
+            return np.asarray(tri)
+
+    log(f"[bench] BVH build+widen: {build_s:.2f}s "
+        f"(incl. first-run compile; reference: 5-6s, README.md:80)")
+
+    tri_host = frame(0)  # warm
+    hit_rate = float((tri_host >= 0).mean())
+    log(f"[bench] hit rate {hit_rate:.3f}")
+
+    times = []
+    for i in range(1, args.frames + 1):
+        ta = time.perf_counter()
+        frame(i)
+        times.append(time.perf_counter() - ta)
+    ms = float(np.median(times) * 1e3)
+    rays = width * height
+    mrays = rays / ms / 1e3
+    fps = 1e3 / ms
+
+    log(f"[bench] median {ms:.2f} ms/frame  {mrays:.1f} Mrays/s  {fps:.1f} FPS")
+
+    result = {
+        "metric": "primary_rays_per_second_dragon_class_1080p"
+        if not (args.quick or not on_tpu) else "primary_rays_per_second_quick",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "detail": {
+            "backend": backend,
+            "resolution": [width, height],
+            "num_triangles": int(scene.num_triangles),
+            "ms_per_frame": round(ms, 2),
+            "fps": round(fps, 2),
+            "hit_rate": round(hit_rate, 4),
+            "build_seconds_first_run": round(build_s, 2),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,218 @@
+"""PathTracer — the framework's main orchestrator, API-parity with the
+reference class (src/libs/PathTracer.js:59-835).
+
+Reference surface preserved (snake_case):
+  initialize() / set_scene(scene) / build_bvh(triangles) / render() /
+  set_camera_position(x,y,z) / set_camera_quaternion(x,y,z,w) /
+  set_frame_count(n), plus the default 4-triangle tetrahedron mesh
+  (PathTracer.js:79-84) and the build-phase timing report
+  (PathTracer.js:745-748).
+
+TPU-native differences (deliberate redesigns, SURVEY.md §7):
+  * initialize() does no device plumbing — JAX owns the device; "pipeline
+    creation" is jit compilation, warmed lazily per resolution.
+  * The whole build (Morton→LBVH2→BVH4→wide layout) runs as jitted device
+    programs — the reference's 4 host↔device round-trips (upload, CPU sort,
+    readback, re-upload — PathTracer.js:671-749) collapse into one program.
+  * render() runs the Pallas supernode kernel when on TPU and falls back to
+    the XLA traversal elsewhere (CPU tests, interpret mode); tiny scenes use
+    the brute-force path (every triangle vs every ray — faster below the
+    BVH's break-even, and it sidesteps the root-is-leaf special case).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io import artifacts
+from .models.scene import Scene
+from .ops.collapse import BVH4, collapse_lbvh2_to_bvh4
+from .ops.lbvh import LBVH2, build_lbvh2
+from .ops.pallas.traverse import make_qnodes, trace_tiles_pallas, TILE
+from .ops.shade import present_frame, quantize_rgba8, shade_lambert
+from .ops.trace import make_wide_bvh
+from .render import render_frame_u8, render_ldr, render_ldr_brute
+
+__all__ = ["PathTracer"]
+
+_BRUTE_FORCE_MAX_TRIS = 8
+
+
+def _default_tetrahedron() -> np.ndarray:
+    """The reference's built-in default mesh (PathTracer.js:79-84)."""
+    return np.array(
+        [
+            [[1, 1, 1], [-1, -1, 1], [-1, 1, -1]],
+            [[1, 1, 1], [-1, 1, -1], [1, -1, -1]],
+            [[1, 1, 1], [1, -1, -1], [-1, -1, 1]],
+            [[-1, -1, 1], [1, -1, -1], [-1, 1, -1]],
+        ],
+        dtype=np.float32,
+    )
+
+
+class PathTracer:
+    """Scene + camera + BVH state and the per-frame render entry point."""
+
+    def __init__(self, width: int = 1920, height: int = 1080) -> None:
+        self.width = int(width)
+        self.height = int(height)
+        self.camera_position = [0.0, 0.0, 3.5]        # PathTracer.js:67
+        self.camera_quaternion = [0.0, 0.0, 0.0, 1.0]
+        self.frame_count = 0
+        self.fov_degrees = 70.0                        # PathTracer.js:761
+
+        self.triangles_data: np.ndarray = _default_tetrahedron()
+        self._tris_dev: jax.Array | None = None
+        self._bvh2: LBVH2 | None = None
+        self._bvh4: BVH4 | None = None
+        self._wide = None
+        self._qnodes: jax.Array | None = None
+        self.build_stats: dict = {}
+
+        self._use_pallas = jax.default_backend() not in ("cpu",)
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def initialize(self) -> "PathTracer":
+        """Build acceleration data for the current (default) mesh — the
+        analog of the reference's initialize() buffer/pipeline setup."""
+        self.build_bvh(self.triangles_data)
+        return self
+
+    def set_scene(self, scene: Scene) -> None:
+        """Install a Scene and rebuild (PathTracer.js:751-754)."""
+        self.triangles_data = scene.get_triangles()
+        self.build_bvh(self.triangles_data)
+
+    # -- BVH build --------------------------------------------------------------
+
+    def build_bvh(self, triangles) -> None:
+        """Full on-device build with the reference's phase timing report."""
+        tris = np.asarray(triangles, dtype=np.float32)
+        if tris.ndim == 1:
+            tris = tris.reshape(-1, 3, 3)
+        self.triangles_data = tris
+        n = len(tris)
+        t_start = time.perf_counter()
+
+        self._tris_dev = jnp.asarray(tris)
+        if n == 0:
+            self._bvh2 = self._bvh4 = self._wide = self._qnodes = None
+            self.build_stats = {"num_triangles": 0, "total_ms": 0.0}
+            return
+
+        t0 = time.perf_counter()
+        self._bvh2 = build_lbvh2(self._tris_dev)
+        jax.block_until_ready(self._bvh2.bounds_u32)
+        t1 = time.perf_counter()
+
+        self._bvh4 = collapse_lbvh2_to_bvh4(self._bvh2)
+        jax.block_until_ready(self._bvh4.bounds_u32)
+        t2 = time.perf_counter()
+
+        self._wide = make_wide_bvh(self._bvh4)
+        self._qnodes = make_qnodes(self._wide, self._tris_dev)
+        jax.block_until_ready(self._qnodes)
+        t3 = time.perf_counter()
+
+        self.build_stats = {
+            "num_triangles": n,
+            "num_nodes2": self._bvh2.num_nodes,
+            "num_nodes4": int(self._bvh4.num_nodes),
+            "lbvh2_ms": (t1 - t0) * 1e3,
+            "collapse_ms": (t2 - t1) * 1e3,
+            "widen_ms": (t3 - t2) * 1e3,
+            "total_ms": (t3 - t_start) * 1e3,
+        }
+        # the reference's console report (PathTracer.js:745-748)
+        print(f"LBVH2 Build Time: {self.build_stats['lbvh2_ms']:.2f} ms")
+        print(f"BVH Collapse Time: {self.build_stats['collapse_ms']:.2f} ms")
+        print(f"Widen/Upload Time: {self.build_stats['widen_ms']:.2f} ms")
+        print(f"BVH Build Time: {self.build_stats['total_ms']:.2f} ms")
+
+    # -- rendering ---------------------------------------------------------------
+
+    def _render_planes(self):
+        """(t, nx·ny·nz implicit via shade, tri) planes for the current frame."""
+        pos = jnp.asarray(self.camera_position, jnp.float32)
+        quat = jnp.asarray(self.camera_quaternion, jnp.float32)
+        w, h = self.width, self.height
+
+        n = len(self.triangles_data)
+        if n <= _BRUTE_FORCE_MAX_TRIS:
+            rgb, t, tri = render_ldr_brute(
+                self._tris_dev, pos, quat, w, h, self.fov_degrees
+            )
+            return rgb, t, tri
+
+        if self._use_pallas:
+            pw = -(-w // TILE) * TILE
+            ph = -(-h // TILE) * TILE
+            t, nx, ny, nz, tri = trace_tiles_pallas(
+                self._qnodes, pos, quat, pw, ph, self.fov_degrees
+            )[:5]
+            t = t[:h, :w]
+            tri = tri[:h, :w]
+            normals = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+            rgb = shade_lambert(normals, tri >= 0)
+            return rgb, t, tri
+
+        rgb, t, tri = render_ldr(
+            self._wide, self._tris_dev, pos, quat, w, h, self.fov_degrees
+        )
+        return rgb, t, tri
+
+    def render(self) -> jax.Array:
+        """One frame → rgba8 framebuffer (H,W,4) — the storage-texture image
+        of the reference's compute pass (renderer.wgsl main)."""
+        rgb, _, _ = self._render_planes()
+        return quantize_rgba8(rgb)
+
+    def render_presented(self) -> jax.Array:
+        """render() + the tonemap present pass (tonemapper.wgsl)."""
+        return present_frame(self.render())
+
+    # -- camera state (PathTracer.js:824-834) -------------------------------------
+
+    def set_camera_position(self, x: float, y: float, z: float) -> None:
+        self.camera_position = [x, y, z]
+
+    def set_camera_quaternion(self, x: float, y: float, z: float, w: float) -> None:
+        self.camera_quaternion = [x, y, z, w]
+
+    def set_frame_count(self, frame_count: int) -> None:
+        self.frame_count = frame_count
+
+    # -- artifacts (SURVEY.md §5.4 checkpoint pipeline) ----------------------------
+
+    def bvh2_artifact(self) -> np.ndarray:
+        """The BVH2.bin u32 image of the current build (api.js dump path)."""
+        if self._bvh2 is None:
+            return np.array([0], dtype=np.uint32)
+        return artifacts.bvh2_to_u32(
+            np.asarray(self._bvh2.bounds_u32),
+            np.asarray(self._bvh2.left),
+            np.asarray(self._bvh2.right),
+            np.asarray(self._bvh2.meta),
+        )
+
+    def bvh4_artifact(self) -> np.ndarray:
+        """The collapsed BVH4 u32 image (stride-8 layout)."""
+        if self._bvh4 is None:
+            return np.array([0], dtype=np.uint32)
+        n4 = int(self._bvh4.num_nodes)
+        return artifacts.bvh4_to_u32(
+            np.asarray(self._bvh4.bounds_u32)[:n4],
+            np.asarray(self._bvh4.children)[:n4],
+            np.asarray(self._bvh4.meta)[:n4],
+        )
+
+    def dump_bvh_json(self, path) -> None:
+        """Working debug export (fixes the reference's broken debug surface,
+        SURVEY.md §3.5)."""
+        artifacts.dump_bvh_json(path, self.bvh2_artifact(), stride=6)
