@@ -50,7 +50,8 @@ from ..trace import WideBVH
 
 __all__ = ["make_qnodes", "trace_tiles_pallas", "TILE", "REC"]
 
-TILE = 32                 # 32×32 pixels per program = 1024 rays = (8,128) lanes
+TILE = 32                 # pixels per program side; TILE² rays per program (best measured: 32)
+SUB = TILE * TILE // 128  # sublane count of the ray lane-tile (TILE²=SUB×128)
 STACK_MAX = 64            # renderer.wgsl:8
 FRONTIER = 4              # stack entries popped/fetched per loop iteration
 REC = 128                 # record width (f32 words) — lane-tile aligned
@@ -123,8 +124,8 @@ def _kernel(
     tj = pl.program_id(1)
 
     # ---- fused ray generation (renderer.wgsl:364-396) ----
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    c_ids = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
+    c_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     lane = r_ids * 128 + c_ids
     px = tj * TILE + lane % TILE
     py = ti * TILE + lane // TILE
@@ -133,7 +134,7 @@ def _kernel(
     v = (py.astype(f32) + 0.5) / height * 2.0 - 1.0
     dx = u * aspect
     dy = v
-    dz = jnp.full((8, 128), -focal, f32)
+    dz = jnp.full((SUB, 128), -focal, f32)
     inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
 
@@ -154,11 +155,11 @@ def _kernel(
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     # ---- accumulators live in the output refs ----
-    t_out[0, 0] = jnp.full((8, 128), INF, f32)
-    nx_out[0, 0] = jnp.zeros((8, 128), f32)
-    ny_out[0, 0] = jnp.zeros((8, 128), f32)
-    nz_out[0, 0] = jnp.zeros((8, 128), f32)
-    tri_out[0, 0] = jnp.full((8, 128), -1, jnp.int32)
+    t_out[0, 0] = jnp.full((SUB, 128), INF, f32)
+    nx_out[0, 0] = jnp.zeros((SUB, 128), f32)
+    ny_out[0, 0] = jnp.zeros((SUB, 128), f32)
+    nz_out[0, 0] = jnp.zeros((SUB, 128), f32)
+    tri_out[0, 0] = jnp.full((SUB, 128), -1, jnp.int32)
 
     stack_n[0] = jnp.int32(0)
     stack_d[0] = f32(0.0)
@@ -189,7 +190,7 @@ def _kernel(
         push_ref = [jnp.int32(0)] * 4
         push_dist = [f32(0.0)] * 4
         push_internal = [jnp.bool_(False)] * 4
-        accs = [jnp.zeros((8, 128), jnp.int32), jnp.zeros((8, 128), jnp.int32)]
+        accs = [jnp.zeros((SUB, 128), jnp.int32), jnp.zeros((SUB, 128), jnp.int32)]
 
         for k in range(4):
             refc = node_scr[i, 24 + k]
@@ -353,7 +354,7 @@ def _kernel(
         lambda c: c[0] >= 0, body, (jnp.int32(0), jnp.int32(0))
     )
     if visits_out is not None:
-        visits_out[0, 0] = jnp.full((8, 128), total_visits, jnp.int32)
+        visits_out[0, 0] = jnp.full((SUB, 128), total_visits, jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -393,15 +394,15 @@ def trace_tiles_pallas(
 
     nout = 6 if stats else 5
     out_shape = [
-        jax.ShapeDtypeStruct((nty, ntx, 8, 128), jnp.float32),  # t
-        jax.ShapeDtypeStruct((nty, ntx, 8, 128), jnp.float32),  # nx
-        jax.ShapeDtypeStruct((nty, ntx, 8, 128), jnp.float32),  # ny
-        jax.ShapeDtypeStruct((nty, ntx, 8, 128), jnp.float32),  # nz
-        jax.ShapeDtypeStruct((nty, ntx, 8, 128), jnp.int32),    # tri
-        jax.ShapeDtypeStruct((nty, ntx, 8, 128), jnp.int32),    # visits
+        jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.float32),  # t
+        jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.float32),  # nx
+        jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.float32),  # ny
+        jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.float32),  # nz
+        jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.int32),    # tri
+        jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.int32),    # visits
     ][:nout]
     out_spec = pl.BlockSpec(
-        (1, 1, 8, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, SUB, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
 
     outs = pl.pallas_call(

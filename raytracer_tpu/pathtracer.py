@@ -177,6 +177,47 @@ class PathTracer:
         """render() + the tonemap present pass (tonemapper.wgsl)."""
         return present_frame(self.render())
 
+    # -- progressive path tracing (the frameCount scaffolding completed) -----------
+
+    def render_progressive(self, bounces: int = 3) -> jax.Array:
+        """One progressive sample accumulated into the running-mean buffer.
+
+        The accumulation resets whenever the camera moves — the behavior the
+        reference's frameCount plumbing points at (PathTracer.js:76,:783).
+        Returns the current HDR mean radiance (H, W, 3) float32.
+        """
+        from .render_pt import accumulate, pt_sample_frame
+
+        cam_sig = (tuple(self.camera_position), tuple(self.camera_quaternion))
+        if getattr(self, "_accum_sig", None) != cam_sig:
+            self._accum_sig = cam_sig
+            self._accum = jnp.zeros((self.height, self.width, 3), jnp.float32)
+            self.frame_count = 0
+
+        key = jax.random.key(self.frame_count)
+        sample = pt_sample_frame(
+            self._wide,
+            self._tris_dev,
+            jnp.asarray(self.camera_position, jnp.float32),
+            jnp.asarray(self.camera_quaternion, jnp.float32),
+            key,
+            self.width,
+            self.height,
+            bounces=bounces,
+            fov_degrees=self.fov_degrees,
+            brute=len(self.triangles_data) <= _BRUTE_FORCE_MAX_TRIS,
+        )
+        self._accum = accumulate(self._accum, sample, jnp.int32(self.frame_count))
+        self.frame_count += 1
+        return self._accum
+
+    def present_progressive(self) -> jax.Array:
+        """Tonemap the HDR accumulation buffer → display rgba8 (true HDR
+        Reinhard, not the LDR double-tonemap of the primary pipeline)."""
+        c = self._accum
+        mapped = c / (c + 1.0)
+        return quantize_rgba8(jnp.power(mapped, jnp.float32(1.0 / 2.2)))
+
     # -- camera state (PathTracer.js:824-834) -------------------------------------
 
     def set_camera_position(self, x: float, y: float, z: float) -> None:
@@ -216,3 +257,40 @@ class PathTracer:
         """Working debug export (fixes the reference's broken debug surface,
         SURVEY.md §3.5)."""
         artifacts.dump_bvh_json(path, self.bvh2_artifact(), stride=6)
+
+    def save_checkpoint(self, path) -> None:
+        """Persist triangles + LBVH2 SoA so builds are resumable offline
+        (first-class version of the reference's file hand-off checkpointing,
+        SURVEY.md §5.4)."""
+        if self._bvh2 is None:
+            artifacts.save_scene_npz(path, self.triangles_data)
+            return
+        artifacts.save_scene_npz(
+            path,
+            self.triangles_data,
+            bvh2_bounds=np.asarray(self._bvh2.bounds_u32),
+            bvh2_left=np.asarray(self._bvh2.left),
+            bvh2_right=np.asarray(self._bvh2.right),
+            bvh2_meta=np.asarray(self._bvh2.meta),
+            bvh2_parent=np.asarray(self._bvh2.parent),
+        )
+
+    def load_checkpoint(self, path) -> None:
+        """Restore a checkpoint: triangles + LBVH2 are loaded verbatim (no
+        rebuild); the widened/traversal layouts are re-derived on device."""
+        data = artifacts.load_scene_npz(path)
+        self.triangles_data = data["triangles"].reshape(-1, 3, 3)
+        self._tris_dev = jnp.asarray(self.triangles_data)
+        if "bvh2_bounds" not in data:
+            self.build_bvh(self.triangles_data)
+            return
+        self._bvh2 = LBVH2(
+            bounds_u32=jnp.asarray(data["bvh2_bounds"]),
+            left=jnp.asarray(data["bvh2_left"]),
+            right=jnp.asarray(data["bvh2_right"]),
+            meta=jnp.asarray(data["bvh2_meta"]),
+            parent=jnp.asarray(data["bvh2_parent"]),
+        )
+        self._bvh4 = collapse_lbvh2_to_bvh4(self._bvh2)
+        self._wide = make_wide_bvh(self._bvh4)
+        self._qnodes = make_qnodes(self._wide, self._tris_dev)

@@ -1,0 +1,176 @@
+"""Progressive path tracing — the north-star extension the reference stubs.
+
+The shipped reference traces primary rays only, but plumbs ``frameCount``
+into the UBO for never-wired progressive accumulation
+(PathTracer.js:76,:783,:832-834; renderer.wgsl:18 — SURVEY.md scope note).
+This module completes that design TPU-natively:
+
+* **Light model** — chosen so 1-bounce direct lighting reproduces the
+  shipped Lambert shade exactly in expectation: Lambert BRDF ρ/π with
+  ρ = (0.9, 0.7, 0.3); directional sun along normalize(1, 1.5, 1) with
+  irradiance scaled so direct = ρ·max(n·l, 0); constant ambient sky of
+  radiance 0.15 (the reference's ambient term) for non-primary rays; primary
+  rays that miss still show the 0.01 background (renderer.wgsl:410).
+* **Sampling** — subpixel-jittered camera rays, cosine-hemisphere BSDF
+  sampling, next-event estimation to the sun (shadow rays), Russian-roulette-
+  free fixed bounce budget (static unroll — XLA-friendly).
+* **Waves** — each bounce is one batched trace over all rays with masked
+  (dead-lane) state; capacity is fixed so everything stays jit-compatible
+  (SURVEY.md §5.7: rays are the "sequence"; masking controls divergence).
+* **Accumulation** — running mean keyed on frame_count, reset on camera
+  move (handled by the PathTracer orchestrator).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .ops.camera import INF, rotate_by_quat
+from .ops.shade import MISS_COLOR
+from .ops.trace import WideBVH, trace_rays, trace_rays_brute
+
+__all__ = ["pt_sample_frame", "accumulate"]
+
+_BASE = (0.9, 0.7, 0.3)
+_SUN_DIR = (1.0, 1.5, 1.0)
+_SKY = 0.15
+_EPS_OFFSET = 1e-4
+
+
+def _sun() -> jax.Array:
+    l = jnp.asarray(_SUN_DIR, jnp.float32)
+    return l / jnp.linalg.norm(l)
+
+
+def _onb(n: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Orthonormal basis around normal n (Frisvad-style, branchless)."""
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack(
+        [1.0 + s * n[..., 0] ** 2 * a, s * b, -s * n[..., 0]], axis=-1
+    )
+    bt = jnp.stack([b, s + n[..., 1] ** 2 * a, -n[..., 1]], axis=-1)
+    return t, bt
+
+
+def _cosine_sample(n: jax.Array, u1: jax.Array, u2: jax.Array) -> jax.Array:
+    """Cosine-weighted hemisphere direction around n."""
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    t, bt = _onb(n)
+    return t * x[..., None] + bt * y[..., None] + n * z[..., None]
+
+
+def _normals_for(tris: jax.Array, tri_idx: jax.Array, d: jax.Array) -> jax.Array:
+    """Geometric normal flipped to face the incoming ray."""
+    nt = tris.shape[0]
+    v = tris[jnp.clip(tri_idx, 0, nt - 1)]
+    e1 = v[:, 1] - v[:, 0]
+    e2 = v[:, 2] - v[:, 0]
+    n = jnp.cross(e1, e2)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
+    return n * jnp.where(flip == 0.0, 1.0, flip)
+
+
+def _trace(wide, tris, o, d, brute: bool):
+    if brute:
+        return trace_rays_brute(tris, o, d)
+    return trace_rays(wide, tris, o, d)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "bounces", "fov_degrees", "brute"),
+)
+def pt_sample_frame(
+    wide: WideBVH,
+    tris: jax.Array,
+    cam_pos: jax.Array,
+    cam_quat: jax.Array,
+    key: jax.Array,
+    width: int,
+    height: int,
+    bounces: int = 3,
+    fov_degrees: float = 70.0,
+    brute: bool = False,
+):
+    """One progressive sample: jittered primary rays + path-traced bounces.
+
+    Returns linear radiance (H, W, 3) float32.
+    """
+    import math
+
+    r = width * height
+    keys = jax.random.split(key, 2 + 2 * bounces)
+
+    # jittered primary rays (uv jitter replaces the fixed +0.5 pixel center)
+    focal = jnp.float32(1.0 / math.tan(0.5 * math.radians(fov_degrees)))
+    aspect = jnp.float32(width / height)
+    jx = jax.random.uniform(keys[0], (height, width))
+    jy = jax.random.uniform(keys[1], (height, width))
+    px = (jnp.arange(width, dtype=jnp.float32)[None, :] + jx) / width * 2.0 - 1.0
+    py = (jnp.arange(height, dtype=jnp.float32)[:, None] + jy) / height * 2.0 - 1.0
+    d = jnp.stack(
+        [px * aspect, jnp.broadcast_to(py, (height, width)),
+         jnp.full((height, width), -focal)],
+        axis=-1,
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    d = rotate_by_quat(d, jnp.asarray(cam_quat, jnp.float32)[None, None, :]).reshape(r, 3)
+    o = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), (r, 3))
+
+    sun = _sun()
+    base = jnp.asarray(_BASE, jnp.float32)
+
+    radiance = jnp.zeros((r, 3), jnp.float32)
+    throughput = jnp.ones((r, 3), jnp.float32)
+    alive = jnp.ones((r,), bool)
+
+    for b in range(bounces):
+        t, tri = _trace(wide, tris, o, d, brute)
+        hit = (tri >= 0) & alive
+        miss = ~(tri >= 0) & alive
+
+        # miss → environment: dark background for camera rays, ambient sky after
+        env = jnp.float32(MISS_COLOR) if b == 0 else jnp.float32(_SKY)
+        radiance = radiance + jnp.where(
+            miss[:, None], throughput * env, 0.0
+        )
+
+        n = _normals_for(tris, tri, d)
+        p = o + d * t[:, None] + n * _EPS_OFFSET
+
+        # next-event estimation: shadow ray toward the sun
+        st, stri = _trace(wide, tris, p, jnp.broadcast_to(sun, p.shape), brute)
+        lit = stri < 0
+        ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
+        direct = base[None, :] * (ndotl * lit)[:, None]
+        radiance = radiance + jnp.where(hit[:, None], throughput * direct, 0.0)
+
+        # continue the path with a cosine sample; albedo absorbs the brdf/pdf
+        u1 = jax.random.uniform(keys[2 + 2 * b], (r,))
+        u2 = jax.random.uniform(keys[3 + 2 * b], (r,))
+        new_d = _cosine_sample(n, u1, u2)
+        throughput = jnp.where(hit[:, None], throughput * base[None, :], throughput)
+        o = jnp.where(hit[:, None], p, o)
+        d = jnp.where(hit[:, None], new_d, d)
+        alive = hit
+
+    # paths still alive after the last bounce collect the ambient sky
+    radiance = radiance + jnp.where(alive[:, None], throughput * jnp.float32(_SKY), 0.0)
+    return radiance.reshape(height, width, 3)
+
+
+@jax.jit
+def accumulate(accum: jax.Array, sample: jax.Array, frame_count: jax.Array):
+    """Running mean: frame_count samples already in accum, add one more."""
+    n = frame_count.astype(jnp.float32)
+    return (accum * n + sample) / (n + 1.0)
