@@ -134,16 +134,19 @@ def main(argv=None) -> int:
     ).astype(np.float32)
 
     if on_tpu:
+        from raytracer_tpu.ops.pallas.entry import compute_tile_entries
+
         @jax.jit
-        def render_n(qn_, poss):
+        def render_n(qn_, wide_, poss):
             def one(pos):
-                out = trace_tiles_pallas(qn_, pos, cam_quat, pw, ph)
+                entries = compute_tile_entries(wide_, pos, cam_quat, pw, ph, tile=TILE)
+                out = trace_tiles_pallas(qn_, pos, cam_quat, pw, ph, entries=entries)
                 return jnp.sum(out[4] >= 0)
             return jax.lax.map(one, poss)
 
-        hits = np.asarray(render_n(qn, positions))  # warm/compile
+        hits = np.asarray(render_n(qn, wide, positions))  # warm/compile
         ta = time.perf_counter()
-        hits = np.asarray(render_n(qn, positions))
+        hits = np.asarray(render_n(qn, wide, positions))
         ms = (time.perf_counter() - ta) / args.frames * 1e3
     else:
         @jax.jit

@@ -1,0 +1,277 @@
+"""Full benchmark suite — the five BASELINE.json configurations.
+
+  1. Cornell-box-style low-poly GLB, 256×256, 1 spp, diffuse-only, BVH2 traversal
+  2. Stanford-Bunny-class (~80k tris), 512×512, 4 spp, BVH4-wide traversal
+  3. Dragon-class (871k tris), 1920×1080, 1 spp progressive (the headline —
+     same measurement as bench.py)
+  4. Interior scene (Sponza-class geometry) with NEE + 4-bounce paths
+  5. Dynamic scene: per-frame BVH refit + multi-camera batch rendering
+     (sharded across chips when >1 device is present)
+
+Each config prints one JSON line; stderr carries details. Timing follows
+bench.py's honest protocol (on-device frame batching, host-pull barriers).
+
+Usage: python bench_suite.py [--config N] [--frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _scene(tris_np):
+    from raytracer_tpu.models.scene import Scene
+
+    s = Scene().set_triangles(tris_np)
+    s._normalize_enabled, s._normalize_mode = True, "cube"
+    s.normalize_mesh()
+    return s
+
+
+def _time_frames(render_n, args_tuple, frames):
+    hits = np.asarray(render_n(*args_tuple))  # warm/compile
+    t0 = time.perf_counter()
+    hits = np.asarray(render_n(*args_tuple))
+    ms = (time.perf_counter() - t0) / frames * 1e3
+    return ms, hits
+
+
+def _emit(name, mrays, ms, extra=None):
+    rec = {
+        "metric": name,
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 75.0, 3),
+        "detail": {"ms_per_frame": round(ms, 3), **(extra or {})},
+    }
+    print(json.dumps(rec), flush=True)
+
+
+def config1(frames):
+    """Cornell box, 256×256, BVH2 traversal, diffuse primary shading."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.collapse import bvh2_as_bvh4
+    from raytracer_tpu.ops.lbvh import build_lbvh2
+    from raytracer_tpu.ops.trace import make_wide_bvh
+    from raytracer_tpu.render import render_ldr
+    from raytracer_tpu.utils import procgen
+
+    s = _scene(procgen.make_cornell_box())
+    tris = jnp.asarray(s.triangles)
+    wide = make_wide_bvh(bvh2_as_bvh4(build_lbvh2(tris)))
+    w = h = 256
+    quat = np.array([0, 0, 0, 1], np.float32)
+    poss = np.array([[1e-3 * i, 0, 2.2] for i in range(frames)], np.float32)
+
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        from raytracer_tpu.ops.pallas.traverse import make_qnodes, trace_tiles_pallas
+
+        qn = make_qnodes(wide, tris)
+
+        @jax.jit
+        def render_n(qn_, poss_):
+            return jax.lax.map(
+                lambda p: jnp.sum(trace_tiles_pallas(qn_, p, quat, w, h)[4] >= 0),
+                poss_,
+            )
+
+        ms, hits = _time_frames(render_n, (qn, poss), frames)
+    else:
+        @jax.jit
+        def render_n(wide_, tris_, poss_):
+            return jax.lax.map(
+                lambda p: jnp.sum(render_ldr(wide_, tris_, p, quat, w, h)[2] >= 0),
+                poss_,
+            )
+
+        ms, hits = _time_frames(render_n, (wide, tris, poss), frames)
+    _emit("cornell_256_bvh2", w * h / ms / 1e3, ms,
+          {"tris": s.num_triangles, "hit_rate": float(hits[0]) / (w * h)})
+
+
+def config2(frames):
+    """Bunny-class icosphere (~82k tris), 512×512, 4 spp jittered, BVH4-wide."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.collapse import promote_lbvh2_to_bvh4_wide
+    from raytracer_tpu.ops.lbvh import build_lbvh2
+    from raytracer_tpu.ops.trace import make_wide_bvh
+    from raytracer_tpu.render_pt import pt_sample_frame
+    from raytracer_tpu.utils import procgen
+
+    s = _scene(procgen.make_icosphere(6))
+    tris = jnp.asarray(s.triangles)
+    wide = make_wide_bvh(promote_lbvh2_to_bvh4_wide(build_lbvh2(tris)))
+    w = h = 512
+    spp = 4
+    quat = np.array([0, 0, 0, 1], np.float32)
+    pos = np.array([0, 0, 2.8], np.float32)
+
+    @jax.jit
+    def render_frame(wide_, tris_, seed):
+        def one(i):
+            return pt_sample_frame(
+                wide_, tris_, pos, quat, jax.random.key(seed + i), w, h, bounces=1
+            )
+        acc = jnp.zeros((h, w, 3))
+        for i in range(spp):
+            acc = acc + one(i)
+        return jnp.sum(acc) / spp
+
+    _ = np.asarray(render_frame(wide, tris, 0))
+    t0 = time.perf_counter()
+    for i in range(frames):
+        v = render_frame(wide, tris, i * 100)
+    _ = np.asarray(v)
+    ms = (time.perf_counter() - t0) / frames * 1e3
+    # NEE shadow rays double the ray count per spp
+    _emit("bunny_512_4spp_bvh4wide", w * h * spp * 2 / ms / 1e3, ms,
+          {"tris": s.num_triangles, "spp": spp})
+
+
+def config4(frames):
+    """Interior (Sponza-class procedural hall), NEE + 4-bounce paths, 512×512."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
+    from raytracer_tpu.ops.lbvh import build_lbvh2
+    from raytracer_tpu.ops.trace import make_wide_bvh
+    from raytracer_tpu.render_pt import pt_sample_frame
+    from raytracer_tpu.utils import procgen
+
+    # interior hall: cornell box + colonnade of boxes + high-poly centerpiece
+    parts = [procgen.make_cornell_box(4.0)]
+    for i in range(8):
+        c = procgen.make_cube(0.3) + np.array(
+            [(-1.5 + 0.4 * i), -1.6, (-1.2 if i % 2 else 1.2)], np.float32
+        )
+        parts.append(c)
+    parts.append(procgen.make_icosphere(4, radius=0.7))
+    s = _scene(np.concatenate(parts).astype(np.float32))
+    tris = jnp.asarray(s.triangles)
+    wide = make_wide_bvh(collapse_lbvh2_to_bvh4(build_lbvh2(tris)))
+    w = h = 512
+    bounces = 4
+    quat = np.array([0, 0, 0, 1], np.float32)
+    pos = np.array([0, 0, 0.8], np.float32)
+
+    @jax.jit
+    def render_frame(wide_, tris_, seed):
+        sfr = pt_sample_frame(
+            wide_, tris_, pos, quat, jax.random.key(seed), w, h, bounces=bounces
+        )
+        return jnp.sum(sfr)
+
+    _ = np.asarray(render_frame(wide, tris, 0))
+    t0 = time.perf_counter()
+    for i in range(frames):
+        v = render_frame(wide, tris, i + 1)
+    _ = np.asarray(v)
+    ms = (time.perf_counter() - t0) / frames * 1e3
+    # each bounce wave traces path + shadow rays
+    rays = w * h * bounces * 2
+    _emit("interior_nee_4bounce", rays / ms / 1e3, ms,
+          {"tris": s.num_triangles, "bounces": bounces})
+
+
+def config5(frames):
+    """Dynamic: per-frame refit of deforming geometry + camera batch render
+    (sharded across all available devices)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
+    from raytracer_tpu.ops.lbvh import build_lbvh2, refit_lbvh2
+    from raytracer_tpu.ops.trace import make_wide_bvh
+    from raytracer_tpu.parallel.mesh import make_mesh, render_cameras_sharded
+    from raytracer_tpu.utils import procgen
+
+    s = _scene(procgen.make_icosphere(4))
+    tris0 = jnp.asarray(s.triangles)
+    bvh = build_lbvh2(tris0)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    w = h = 256
+    n_cam = max(n_dev, 2)
+    poss = np.tile(np.array([0, 0, 3.0], np.float32), (n_cam, 1))
+    poss[:, 0] = np.linspace(-0.3, 0.3, n_cam)
+    quats = np.tile(np.array([0, 0, 0, 1], np.float32), (n_cam, 1))
+
+    @jax.jit
+    def step(bvh_, tris_, phase):
+        # deform: breathing sphere
+        deformed = tris_ * (1.0 + 0.1 * jnp.sin(phase))
+        refit = refit_lbvh2(bvh_, deformed)
+        wide = make_wide_bvh(collapse_lbvh2_to_bvh4(refit))
+        return wide, deformed
+
+    def frame(i):
+        wide, tris_d = step(bvh, tris0, jnp.float32(i * 0.1))
+        out = render_cameras_sharded(wide, tris_d, poss, quats, w, h, mesh)
+        return out
+
+    _ = np.asarray(frame(0)).sum()
+    t0 = time.perf_counter()
+    for i in range(frames):
+        out = frame(i + 1)
+    _ = np.asarray(out).sum()
+    ms = (time.perf_counter() - t0) / frames * 1e3
+    rays = w * h * n_cam
+    _emit("dynamic_refit_multicam", rays / ms / 1e3, ms,
+          {"tris": s.num_triangles, "cameras": n_cam, "devices": n_dev})
+
+
+def config3(frames):
+    """Delegates to bench.py (the headline dragon measurement)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "bench.py", "--frames", str(frames)],
+        capture_output=True, text=True,
+    )
+    sys.stderr.write(r.stderr)
+    print(r.stdout.strip())
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0, help="1-5, 0 = all")
+    ap.add_argument("--frames", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    configs = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    targets = [args.config] if args.config else [1, 2, 3, 4, 5]
+    for c in targets:
+        log(f"[suite] running config {c}")
+        configs[c](args.frames)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -306,3 +306,24 @@ def _promote_impl(bounds2, left2, right2, meta2, num_nodes2: int) -> BVH4:
 def promote_lbvh2_to_bvh4_wide(bvh2: LBVH2) -> BVH4:
     """Device-side O(N) index-preserving wide promotion (test.cpp semantics)."""
     return _promote_impl(bvh2.bounds_u32, bvh2.left, bvh2.right, bvh2.meta, bvh2.num_nodes)
+
+
+@jax.jit
+def bvh2_as_bvh4(bvh2: LBVH2) -> BVH4:
+    """Zero-cost view of the binary LBVH in the 4-wide node struct
+    (children = [left, right, INVALID, INVALID]) so the same traversal
+    kernels run pure BVH2 traversal (BASELINE config 1)."""
+    m = bvh2.bounds_u32.shape[0]
+    inv = jnp.uint32(INVALID)
+    leaf = (bvh2.meta & jnp.uint32(LEAF_FLAG)) != 0
+    children = jnp.stack(
+        [bvh2.left, bvh2.right, jnp.full((m,), inv), jnp.full((m,), inv)],
+        axis=-1,
+    )
+    children = jnp.where(leaf[:, None], inv, children)
+    return BVH4(
+        bounds_u32=bvh2.bounds_u32,
+        children=children,
+        meta=bvh2.meta,
+        num_nodes=jnp.uint32(m),
+    )

@@ -104,8 +104,9 @@ def make_qnodes(wide: WideBVH, tris: jax.Array) -> jax.Array:
 
 def _kernel(
     cam_ref,            # SMEM (16,) f32: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H
+    entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes
     qnodes_ref,         # HBM (M, 128) f32
-    t_out, nx_out, ny_out, nz_out, tri_out,   # VMEM (1,1,8,128)
+    t_out, nx_out, ny_out, nz_out, tri_out,   # VMEM (1,1,SUB,128)
     *rest,              # [visits_out,] node_scr, stack_n, stack_d, maxb_scr, sems
 ):
     if len(rest) == 6:
@@ -161,7 +162,7 @@ def _kernel(
     nz_out[0, 0] = jnp.zeros((SUB, 128), f32)
     tri_out[0, 0] = jnp.full((SUB, 128), -1, jnp.int32)
 
-    stack_n[0] = jnp.int32(0)
+    stack_n[0] = entry_ref[ti, tj]
     stack_d[0] = f32(0.0)
     maxb_scr[0] = f32(INF)
     maxb_scr[1] = f32(INF)
@@ -371,6 +372,7 @@ def trace_tiles_pallas(
     fov_degrees: float = 70.0,
     interpret: bool = False,
     stats: bool = False,
+    entries: jax.Array | None = None,
 ):
     """Trace all primary rays → (t, nx, ny, nz, tri[, visits]) images of
     (height,width); ``stats=True`` appends a per-tile visit-count plane.
@@ -392,6 +394,9 @@ def trace_tiles_pallas(
         ]
     )
 
+    if entries is None:
+        entries = jnp.zeros((nty, ntx), jnp.int32)
+
     nout = 6 if stats else 5
     out_shape = [
         jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.float32),  # t
@@ -410,6 +415,7 @@ def trace_tiles_pallas(
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # entries (full, tiny)
             pl.BlockSpec(memory_space=pltpu.HBM),   # qnodes
         ],
         out_specs=[out_spec] * nout,
@@ -422,7 +428,7 @@ def trace_tiles_pallas(
             pltpu.SemaphoreType.DMA((FRONTIER,)),
         ],
         interpret=interpret,
-    )(cam, qnodes)
+    )(cam, entries, qnodes)
 
     def untile(a):
         img = a.reshape(nty, ntx, TILE, TILE).transpose(0, 2, 1, 3)

@@ -30,7 +30,12 @@ import numpy as np
 
 from .io import artifacts
 from .models.scene import Scene
-from .ops.collapse import BVH4, collapse_lbvh2_to_bvh4
+from .ops.collapse import (
+    BVH4,
+    bvh2_as_bvh4,
+    collapse_lbvh2_to_bvh4,
+    promote_lbvh2_to_bvh4_wide,
+)
 from .ops.lbvh import LBVH2, build_lbvh2
 from .ops.pallas.traverse import make_qnodes, trace_tiles_pallas, TILE
 from .ops.shade import present_frame, quantize_rgba8, shade_lambert
@@ -58,7 +63,11 @@ def _default_tetrahedron() -> np.ndarray:
 class PathTracer:
     """Scene + camera + BVH state and the per-frame render entry point."""
 
-    def __init__(self, width: int = 1920, height: int = 1080) -> None:
+    def __init__(self, width: int = 1920, height: int = 1080,
+                 widener: str = "collapse") -> None:
+        if widener not in ("collapse", "promote", "bvh2"):
+            raise ValueError(f"unknown widener {widener!r}")
+        self.widener = widener
         self.width = int(width)
         self.height = int(height)
         self.camera_position = [0.0, 0.0, 3.5]        # PathTracer.js:67
@@ -111,7 +120,12 @@ class PathTracer:
         jax.block_until_ready(self._bvh2.bounds_u32)
         t1 = time.perf_counter()
 
-        self._bvh4 = collapse_lbvh2_to_bvh4(self._bvh2)
+        widen = {
+            "collapse": collapse_lbvh2_to_bvh4,
+            "promote": promote_lbvh2_to_bvh4_wide,
+            "bvh2": bvh2_as_bvh4,
+        }[self.widener]
+        self._bvh4 = widen(self._bvh2)
         jax.block_until_ready(self._bvh4.bounds_u32)
         t2 = time.perf_counter()
 
@@ -151,10 +165,17 @@ class PathTracer:
             return rgb, t, tri
 
         if self._use_pallas:
+            from .ops.pallas.entry import compute_tile_entries
+
             pw = -(-w // TILE) * TILE
             ph = -(-h // TILE) * TILE
+            entries = compute_tile_entries(
+                self._wide, pos, quat, pw, ph, tile=TILE,
+                fov_degrees=self.fov_degrees,
+            )
             t, nx, ny, nz, tri = trace_tiles_pallas(
-                self._qnodes, pos, quat, pw, ph, self.fov_degrees
+                self._qnodes, pos, quat, pw, ph, self.fov_degrees,
+                entries=entries,
             )[:5]
             t = t[:h, :w]
             tri = tri[:h, :w]

@@ -130,3 +130,17 @@ def test_camera_diagonal_normalized():
     cam.press("KeyD")
     cam.update(1.0)
     assert abs(np.linalg.norm(cam.position) - 4.0) < 1e-6
+
+
+def test_widener_variants_render_identically():
+    import numpy as np
+    from raytracer_tpu.utils import procgen
+
+    tris = procgen.make_icosphere(2)
+    imgs = []
+    for widener in ("collapse", "promote", "bvh2"):
+        pt = PathTracer(width=48, height=48, widener=widener)
+        pt.set_scene(Scene().set_triangles(tris))
+        imgs.append(np.asarray(pt.render()))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    np.testing.assert_array_equal(imgs[0], imgs[2])
