@@ -39,6 +39,7 @@ test could only pass a superset of the MT-accepted lanes).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -51,9 +52,10 @@ from ..trace import WideBVH
 __all__ = ["make_qnodes", "trace_tiles_pallas", "TILE", "REC"]
 
 TILE = 32                 # pixels per program side; TILE² rays per program (best measured: 32)
+_ABLATE = os.environ.get("RT_ABLATE", "")  # perf ablations: "nomt", "noslab"
 SUB = TILE * TILE // 128  # sublane count of the ray lane-tile (TILE²=SUB×128)
 STACK_MAX = 64            # renderer.wgsl:8
-FRONTIER = 4              # stack entries popped/fetched per loop iteration
+FRONTIER = 2              # stack entries popped/fetched per loop iteration
 REC = 128                 # record width (f32 words) — lane-tile aligned
 EMPTY_REF = -float(1 << 28)
 INF = 1e30
@@ -155,6 +157,19 @@ def _kernel(
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
+    # tile-center ray direction (scalars) — the near-first ordering axis
+    ucx = ((tj * TILE + TILE * 0.5) / width * 2.0 - 1.0) * aspect
+    vcy = (ti * TILE + TILE * 0.5) / height * 2.0 - 1.0
+    c_uvx = qy * (-focal) - qz * vcy
+    c_uvy = qz * ucx - qx * (-focal)
+    c_uvz = qx * vcy - qy * ucx
+    c_uuvx = qy * c_uvz - qz * c_uvy
+    c_uuvy = qz * c_uvx - qx * c_uvz
+    c_uuvz = qx * c_uvy - qy * c_uvx
+    dcx = 2.0 * (qw * c_uvx + c_uuvx) + ucx
+    dcy = 2.0 * (qw * c_uvy + c_uuvy) + vcy
+    dcz = 2.0 * (qw * c_uvz + c_uuvz) + (-focal)
+
     # ---- accumulators live in the output refs ----
     t_out[0, 0] = jnp.full((SUB, 128), INF, f32)
     nx_out[0, 0] = jnp.zeros((SUB, 128), f32)
@@ -191,6 +206,7 @@ def _kernel(
         push_ref = [jnp.int32(0)] * 4
         push_dist = [f32(0.0)] * 4
         push_internal = [jnp.bool_(False)] * 4
+        push_order = [f32(0.0)] * 4
         accs = [jnp.zeros((SUB, 128), jnp.int32), jnp.zeros((SUB, 128), jnp.int32)]
 
         for k in range(4):
@@ -201,7 +217,7 @@ def _kernel(
 
             # --- leaf child: MT straight from the inlined vertices (no box
             # test — the child box is a conservative hull of the triangle) ---
-            @pl.when(valid & is_leaf)
+            @pl.when(valid & is_leaf & ("nomt" not in _ABLATE))
             def _(i=i, k=k, refc=refc):
                 b = 32 + 12 * k
                 v0x, v0y, v0z = node_scr[i, b], node_scr[i, b + 1], node_scr[i, b + 2]
@@ -262,14 +278,24 @@ def _kernel(
             acc_idx = k % 2
             accs[acc_idx] = accs[acc_idx] + jnp.where(hit, jnp.int32(1) << shift, 0)
 
-            # scalar point-to-box distance² from the shared ray origin
+            # scalar point-to-box distance² from the shared ray origin —
+            # the conservative occlusion-cull metric
             ddx = jnp.maximum(jnp.maximum(mnx - ox, ox - mxx), f32(0.0))
             ddy = jnp.maximum(jnp.maximum(mny - oy, oy - mxy), f32(0.0))
             ddz = jnp.maximum(jnp.maximum(mnz - oz, oz - mxz), f32(0.0))
             d2 = ddx * ddx + ddy * ddy + ddz * ddz
 
+            # near-first ordering metric: box-center distance projected on
+            # the tile's central ray (direction-aware, unlike d2)
+            proj = (
+                ((mnx + mxx) * 0.5 - ox) * dcx
+                + ((mny + mxy) * 0.5 - oy) * dcy
+                + ((mnz + mxz) * 0.5 - oz) * dcz
+            )
+
             push_ref[k] = refc.astype(jnp.int32)
             push_dist[k] = d2
+            push_order[k] = proj
             push_internal[k] = is_internal & valid & (d2 < maxb2)
 
         # the two lane reductions of this visit (slot-hit counts)
@@ -283,18 +309,23 @@ def _kernel(
         ]
         push_ok = [push_internal[k] & slot_hit[k] for k in range(4)]
 
-        # sorting network: nearest child (smallest distance²) pushed last
-        refs, dists, oks = push_ref, push_dist, push_ok
+        # sorting network: nearest child (smallest projected distance)
+        # pushed last so it pops first
+        refs, dists, orders, oks = push_ref, push_dist, push_order, push_ok
 
         def swap_if(a, b):
-            da = jnp.where(oks[a], dists[a], f32(-INF))
-            db = jnp.where(oks[b], dists[b], f32(-INF))
+            da = jnp.where(oks[a], orders[a], f32(-INF))
+            db = jnp.where(oks[b], orders[b], f32(-INF))
             pred = da < db
             refs[a], refs[b] = (
                 jnp.where(pred, refs[b], refs[a]),
                 jnp.where(pred, refs[a], refs[b]),
             )
-            dists[a], dists[b] = jnp.where(pred, db, da), jnp.where(pred, da, db)
+            dists[a], dists[b] = (
+                jnp.where(pred, dists[b], dists[a]),
+                jnp.where(pred, dists[a], dists[b]),
+            )
+            orders[a], orders[b] = jnp.where(pred, db, da), jnp.where(pred, da, db)
             oks[a], oks[b] = (
                 jnp.where(pred, oks[b], oks[a]),
                 jnp.where(pred, oks[a], oks[b]),
