@@ -222,10 +222,27 @@ def config5(frames):
         wide = make_wide_bvh(collapse_lbvh2_to_bvh4(refit))
         return wide, deformed
 
-    def frame(i):
-        wide, tris_d = step(bvh, tris0, jnp.float32(i * 0.1))
-        out = render_cameras_sharded(wide, tris_d, poss, quats, w, h, mesh)
-        return out
+    on_tpu_single = jax.default_backend() != "cpu" and n_dev == 1
+
+    if on_tpu_single:
+        from raytracer_tpu.ops.pallas.traverse import make_qnodes, trace_tiles_pallas
+
+        @jax.jit
+        def frame_fn(bvh_, tris_, phase):
+            wide, tris_d = step(bvh_, tris_, phase)
+            qn = make_qnodes(wide, tris_d)
+
+            def one(pq):
+                return trace_tiles_pallas(qn, pq[0], pq[1], w, h)[4]
+
+            return jax.lax.map(one, (jnp.asarray(poss), jnp.asarray(quats)))
+
+        def frame(i):
+            return frame_fn(bvh, tris0, jnp.float32(i * 0.1))
+    else:
+        def frame(i):
+            wide, tris_d = step(bvh, tris0, jnp.float32(i * 0.1))
+            return render_cameras_sharded(wide, tris_d, poss, quats, w, h, mesh)
 
     _ = np.asarray(frame(0)).sum()
     t0 = time.perf_counter()

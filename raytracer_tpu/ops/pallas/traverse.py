@@ -105,6 +105,7 @@ def make_qnodes(wide: WideBVH, tris: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _kernel(
+    use_jitter,         # static python bool — gates PRNG tracing
     cam_ref,            # SMEM (16,) f32: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H
     entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes
     qnodes_ref,         # HBM (M, 128) f32
@@ -133,8 +134,25 @@ def _kernel(
     px = tj * TILE + lane % TILE
     py = ti * TILE + lane // TILE
 
-    u = (px.astype(f32) + 0.5) / width * 2.0 - 1.0
-    v = (py.astype(f32) + 0.5) / height * 2.0 - 1.0
+    # subpixel offsets: fixed centers (reference parity) or, when a nonzero
+    # jitter seed is provided, per-pixel uniform jitter from the TPU PRNG —
+    # the 1-spp progressive-accumulation mode (completes the frameCount
+    # scaffolding on the fast path)
+    if use_jitter:
+        seed = cam_ref[11]
+        pltpu.prng_seed(
+            seed.astype(jnp.int32) * 9781 + ti * 7919 + tj * 104729
+        )
+
+        def rand01():
+            bits = pltpu.prng_random_bits((SUB, 128))
+            return (bits >> jnp.uint32(8)).astype(f32) * f32(2.0 ** -24)
+
+        jx, jy = rand01(), rand01()
+    else:
+        jx = jy = f32(0.5)
+    u = (px.astype(f32) + jx) / width * 2.0 - 1.0
+    v = (py.astype(f32) + jy) / height * 2.0 - 1.0
     dx = u * aspect
     dy = v
     dz = jnp.full((SUB, 128), -focal, f32)
@@ -393,7 +411,7 @@ def _kernel(
 # Host wrapper
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "interpret", "stats"))
+@partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "interpret", "stats", "jitter"))
 def trace_tiles_pallas(
     qnodes: jax.Array,
     cam_pos: jax.Array,
@@ -404,6 +422,8 @@ def trace_tiles_pallas(
     interpret: bool = False,
     stats: bool = False,
     entries: jax.Array | None = None,
+    jitter: bool = False,
+    jitter_seed=0,
 ):
     """Trace all primary rays → (t, nx, ny, nz, tri[, visits]) images of
     (height,width); ``stats=True`` appends a per-tile visit-count plane.
@@ -418,10 +438,9 @@ def trace_tiles_pallas(
         [
             jnp.asarray(cam_pos, jnp.float32).reshape(3),
             jnp.asarray(cam_quat, jnp.float32).reshape(4),
-            jnp.array(
-                [focal, width / height, width, height, 0, 0, 0, 0, 0],
-                jnp.float32,
-            ),
+            jnp.array([focal, width / height, width, height], jnp.float32),
+            jnp.asarray(jitter_seed, jnp.float32).reshape(1),
+            jnp.zeros((4,), jnp.float32),
         ]
     )
 
@@ -442,7 +461,7 @@ def trace_tiles_pallas(
     )
 
     outs = pl.pallas_call(
-        _kernel,
+        partial(_kernel, jitter),
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam

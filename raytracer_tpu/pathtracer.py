@@ -215,6 +215,15 @@ class PathTracer:
             self._accum = jnp.zeros((self.height, self.width, 3), jnp.float32)
             self.frame_count = 0
 
+        if bounces == 0:
+            # AA-progressive: jittered primary rays with the shipped shading —
+            # the mode the reference's scaffolding pointed at. Runs on the
+            # Pallas fast path on TPU.
+            sample = self._primary_sample_jittered()
+            self._accum = accumulate(self._accum, sample, jnp.int32(self.frame_count))
+            self.frame_count += 1
+            return self._accum
+
         key = jax.random.key(self.frame_count)
         sample = pt_sample_frame(
             self._wide,
@@ -231,6 +240,40 @@ class PathTracer:
         self._accum = accumulate(self._accum, sample, jnp.int32(self.frame_count))
         self.frame_count += 1
         return self._accum
+
+    def _primary_sample_jittered(self) -> jax.Array:
+        """One subpixel-jittered primary-ray frame, linear radiance (H,W,3)."""
+        pos = jnp.asarray(self.camera_position, jnp.float32)
+        quat = jnp.asarray(self.camera_quaternion, jnp.float32)
+        w, h = self.width, self.height
+        seed = self.frame_count + 1
+
+        if self._use_pallas and len(self.triangles_data) > _BRUTE_FORCE_MAX_TRIS:
+            pw = -(-w // TILE) * TILE
+            ph = -(-h // TILE) * TILE
+            t, nx, ny, nz, tri = trace_tiles_pallas(
+                self._qnodes, pos, quat, pw, ph, self.fov_degrees,
+                jitter=True, jitter_seed=seed,
+            )[:5]
+            tri = tri[:h, :w]
+            normals = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+            return shade_lambert(normals, tri >= 0)
+
+        # host/CPU fallback: jittered rays through the XLA path
+        from .render_pt import pt_sample_frame
+
+        return pt_sample_frame(
+            self._wide,
+            self._tris_dev,
+            pos,
+            quat,
+            jax.random.key(seed),
+            w,
+            h,
+            bounces=1,
+            fov_degrees=self.fov_degrees,
+            brute=len(self.triangles_data) <= _BRUTE_FORCE_MAX_TRIS,
+        )
 
     def present_progressive(self) -> jax.Array:
         """Tonemap the HDR accumulation buffer → display rgba8 (true HDR

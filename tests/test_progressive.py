@@ -109,3 +109,15 @@ def test_gi_adds_energy_in_concave_scene():
     gi = mean_radiance(3)
     assert gi > direct * 1.01
     assert gi < direct * 3.0  # bounded (albedo < 1)
+
+
+def test_progressive_aa_mode_bounces0():
+    """bounces=0 → jittered-primary AA accumulation (Pallas path on TPU,
+    XLA fallback here)."""
+    pt = PathTracer(width=16, height=16)
+    pt.set_scene(Scene().set_triangles(procgen.make_cornell_box()))
+    a1 = np.asarray(pt.render_progressive(bounces=0))
+    a2 = np.asarray(pt.render_progressive(bounces=0))
+    assert pt.frame_count == 2
+    assert a1.shape == (16, 16, 3)
+    assert np.isfinite(a2).all() and (a2 >= 0).all()
