@@ -123,11 +123,19 @@ def config2(frames):
     quat = np.array([0, 0, 0, 1], np.float32)
     pos = np.array([0, 0, 2.8], np.float32)
 
+    import jax as _jax
+    qn = None
+    if _jax.default_backend() != "cpu":
+        from raytracer_tpu.ops.pallas.traverse import make_qnodes
+
+        qn = make_qnodes(wide, tris)
+
     @jax.jit
     def render_frame(wide_, tris_, seed):
         def one(i):
             return pt_sample_frame(
-                wide_, tris_, pos, quat, jax.random.key(seed + i), w, h, bounces=1
+                wide_, tris_, pos, quat, jax.random.key(seed + i), w, h,
+                bounces=1, qnodes=qn,
             )
         acc = jnp.zeros((h, w, 3))
         for i in range(spp):
@@ -172,10 +180,17 @@ def config4(frames):
     quat = np.array([0, 0, 0, 1], np.float32)
     pos = np.array([0, 0, 0.8], np.float32)
 
+    qn = None
+    if jax.default_backend() != "cpu":
+        from raytracer_tpu.ops.pallas.traverse import make_qnodes
+
+        qn = make_qnodes(wide, tris)
+
     @jax.jit
     def render_frame(wide_, tris_, seed):
         sfr = pt_sample_frame(
-            wide_, tris_, pos, quat, jax.random.key(seed), w, h, bounces=bounces
+            wide_, tris_, pos, quat, jax.random.key(seed), w, h,
+            bounces=bounces, qnodes=qn,
         )
         return jnp.sum(sfr)
 

@@ -104,14 +104,234 @@ def make_qnodes(wide: WideBVH, tris: jax.Array) -> jax.Array:
 # Kernel
 # ---------------------------------------------------------------------------
 
+def _traverse_core(
+    qnodes_ref,
+    t_out, nx_out, ny_out, nz_out, tri_out, visits_out,
+    node_scr, stack_n, stack_d, maxb_scr, sems,
+    dx, dy, dz, ix, iy, iz,          # (SUB,128) ray vectors
+    ox, oy, oz,                       # origins: scalars (primary) or vectors
+    clox, cloy, cloz, chix, chiy, chiz,   # scalar origin-AABB (cull metric)
+    odx, ody, odz, oox, ooy, ooz,     # scalar ordering ray (dir + origin)
+    entry,                            # scalar entry node
+):
+    """Shared block-traversal loop (see module docstring).
+
+    Vector→scalar syncs are the dominant per-visit cost on TPU, so each visit
+    does exactly two lane reductions (packed slot-hit counts). Ordering and
+    occlusion culling run entirely on the scalar core: the cull metric is the
+    gap distance between the child box and the tile's origin AABB (primary
+    rays: a point) — a conservative lower bound on any lane's hit distance —
+    and the ordering metric projects child box centers onto a representative
+    tile ray.
+    """
+    f32 = jnp.float32
+
+    t_out[0, 0] = jnp.full((SUB, 128), INF, f32)
+    nx_out[0, 0] = jnp.zeros((SUB, 128), f32)
+    ny_out[0, 0] = jnp.zeros((SUB, 128), f32)
+    nz_out[0, 0] = jnp.zeros((SUB, 128), f32)
+    tri_out[0, 0] = jnp.full((SUB, 128), -1, jnp.int32)
+
+    stack_n[0] = entry
+    stack_d[0] = f32(0.0)
+    maxb_scr[0] = f32(INF)
+    maxb_scr[1] = f32(INF)
+
+    def fetch(i, node):
+        return pltpu.make_async_copy(qnodes_ref.at[node], node_scr.at[i], sems.at[i])
+
+    def process(i, valid, node, sp):
+        @pl.when(valid)
+        def _():
+            fetch(i, node).wait()
+
+        best0 = t_out[0, 0]
+        maxb2 = maxb_scr[1]
+
+        push_ref = [jnp.int32(0)] * 4
+        push_dist = [f32(0.0)] * 4
+        push_internal = [jnp.bool_(False)] * 4
+        push_order = [f32(0.0)] * 4
+        accs = [jnp.zeros((SUB, 128), jnp.int32), jnp.zeros((SUB, 128), jnp.int32)]
+
+        for k in range(4):
+            refc = node_scr[i, 24 + k]
+            is_empty = refc <= f32(EMPTY_REF)
+            is_leaf = (refc < 0.0) & ~is_empty
+            is_internal = refc >= 0.0
+
+            # --- leaf child: MT straight from the inlined vertices ---
+            @pl.when(valid & is_leaf & ("nomt" not in _ABLATE))
+            def _(i=i, k=k, refc=refc):
+                b = 32 + 12 * k
+                v0x, v0y, v0z = node_scr[i, b], node_scr[i, b + 1], node_scr[i, b + 2]
+                v1x, v1y, v1z = node_scr[i, b + 3], node_scr[i, b + 4], node_scr[i, b + 5]
+                v2x, v2y, v2z = node_scr[i, b + 6], node_scr[i, b + 7], node_scr[i, b + 8]
+                e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+                e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                inv_det = 1.0 / jnp.where(det == 0.0, f32(1.0), det)
+                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                uu = inv_det * (sx * px_ + sy * py_ + sz * pz_)
+                qcx = sy * e1z - sz * e1y
+                qcy = sz * e1x - sx * e1z
+                qcz = sx * e1y - sy * e1x
+                vv = inv_det * (dx * qcx + dy * qcy + dz * qcz)
+                tt = inv_det * (e2x * qcx + e2y * qcy + e2z * qcz)
+                cur = t_out[0, 0]
+                upd = (
+                    (jnp.abs(det) >= MT_EPS)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > MT_EPS) & (tt < cur)
+                )
+                gnx = e1y * e2z - e1z * e2y
+                gny = e1z * e2x - e1x * e2z
+                gnz = e1x * e2y - e1y * e2x
+                g_inv = jax.lax.rsqrt(gnx * gnx + gny * gny + gnz * gnz)
+                tri_id = (-refc - 1.0).astype(jnp.int32)
+                t_out[0, 0] = jnp.where(upd, tt, cur)
+                nx_out[0, 0] = jnp.where(upd, gnx * g_inv, nx_out[0, 0])
+                ny_out[0, 0] = jnp.where(upd, gny * g_inv, ny_out[0, 0])
+                nz_out[0, 0] = jnp.where(upd, gnz * g_inv, nz_out[0, 0])
+                tri_out[0, 0] = jnp.where(upd, tri_id, tri_out[0, 0])
+
+            # --- internal child: slab test (vector) + scalar metrics ---
+            mnx, mny, mnz = node_scr[i, 6 * k], node_scr[i, 6 * k + 1], node_scr[i, 6 * k + 2]
+            mxx, mxy, mxz = node_scr[i, 6 * k + 3], node_scr[i, 6 * k + 4], node_scr[i, 6 * k + 5]
+            t1x, t2x = (mnx - ox) * ix, (mxx - ox) * ix
+            t1y, t2y = (mny - oy) * iy, (mxy - oy) * iy
+            t1z, t2z = (mnz - oz) * iz, (mxz - oz) * iz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best0)
+            # pack per-slot hit counts into 16-bit fields (≤1024 per field)
+            shift = 16 * (k // 2)
+            accs[k % 2] = accs[k % 2] + jnp.where(hit, jnp.int32(1) << shift, 0)
+
+            # conservative cull: gap distance² between the child box and the
+            # tile's origin AABB
+            ddx = jnp.maximum(jnp.maximum(mnx - chix, clox - mxx), f32(0.0))
+            ddy = jnp.maximum(jnp.maximum(mny - chiy, cloy - mxy), f32(0.0))
+            ddz = jnp.maximum(jnp.maximum(mnz - chiz, cloz - mxz), f32(0.0))
+            d2 = ddx * ddx + ddy * ddy + ddz * ddz
+
+            # near-first ordering: box center projected on the tile ray
+            proj = (
+                ((mnx + mxx) * 0.5 - oox) * odx
+                + ((mny + mxy) * 0.5 - ooy) * ody
+                + ((mnz + mxz) * 0.5 - ooz) * odz
+            )
+
+            push_ref[k] = refc.astype(jnp.int32)
+            push_dist[k] = d2
+            push_order[k] = proj
+            push_internal[k] = is_internal & valid & (d2 < maxb2)
+
+        # the two lane reductions of this visit (slot-hit counts)
+        red0 = jnp.sum(accs[0])
+        red1 = jnp.sum(accs[1])
+        slot_hit = [
+            (red0 & 0xFFFF) != 0,
+            (red1 & 0xFFFF) != 0,
+            (red0 >> 16) != 0,
+            (red1 >> 16) != 0,
+        ]
+        push_ok = [push_internal[k] & slot_hit[k] for k in range(4)]
+
+        # sorting network: nearest child pushed last so it pops first
+        refs, dists, orders, oks = push_ref, push_dist, push_order, push_ok
+
+        def swap_if(a, b):
+            da = jnp.where(oks[a], orders[a], f32(-INF))
+            db = jnp.where(oks[b], orders[b], f32(-INF))
+            pred = da < db
+            refs[a], refs[b] = (
+                jnp.where(pred, refs[b], refs[a]),
+                jnp.where(pred, refs[a], refs[b]),
+            )
+            dists[a], dists[b] = (
+                jnp.where(pred, dists[b], dists[a]),
+                jnp.where(pred, dists[a], dists[b]),
+            )
+            orders[a], orders[b] = jnp.where(pred, db, da), jnp.where(pred, da, db)
+            oks[a], oks[b] = (
+                jnp.where(pred, oks[b], oks[a]),
+                jnp.where(pred, oks[a], oks[b]),
+            )
+
+        swap_if(0, 1)
+        swap_if(2, 3)
+        swap_if(0, 2)
+        swap_if(1, 3)
+        swap_if(1, 2)
+
+        for k in range(4):
+            can = oks[k] & (sp < STACK_MAX - 1)
+            sp = jnp.where(can, sp + 1, sp)
+
+            @pl.when(can)
+            def _(k=k, sp=sp):
+                stack_n[sp] = refs[k]
+                stack_d[sp] = dists[k]
+
+        return sp
+
+    def body(carry):
+        sp, visits = carry
+        nodes, valids = [], []
+        for i in range(FRONTIER):
+            sp = jax.lax.while_loop(
+                lambda s: (s >= 0) & (stack_d[jnp.maximum(s, 0)] >= maxb_scr[1]),
+                lambda s: s - 1,
+                sp,
+            )
+            valid = sp >= 0
+            node = stack_n[jnp.maximum(sp, 0)]
+
+            @pl.when(valid)
+            def _(i=i, node=node):
+                fetch(i, node).start()
+
+            sp = jnp.where(valid, sp - 1, sp)
+            nodes.append(node)
+            valids.append(valid)
+            visits = visits + jnp.where(valid, 1, 0)
+
+        for i in range(FRONTIER):
+            sp = process(i, valids[i], nodes[i], sp)
+
+        mb = jnp.max(t_out[0, 0])
+        maxb_scr[0] = mb
+        maxb_scr[1] = jnp.where(mb >= jnp.float32(INF), jnp.float32(INF), mb * mb)
+        return sp, visits
+
+    _, total_visits = jax.lax.while_loop(
+        lambda c: c[0] >= 0, body, (jnp.int32(0), jnp.int32(0))
+    )
+    if visits_out is not None:
+        visits_out[0, 0] = jnp.full((SUB, 128), total_visits, jnp.int32)
+
+
 def _kernel(
     use_jitter,         # static python bool — gates PRNG tracing
-    cam_ref,            # SMEM (16,) f32: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H
+    cam_ref,            # SMEM (16,) f32: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H, seed
     entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes
     qnodes_ref,         # HBM (M, 128) f32
     t_out, nx_out, ny_out, nz_out, tri_out,   # VMEM (1,1,SUB,128)
     *rest,              # [visits_out,] node_scr, stack_n, stack_d, maxb_scr, sems
 ):
+    """Primary-ray kernel: fused in-kernel ray generation."""
     if len(rest) == 6:
         visits_out, node_scr, stack_n, stack_d, maxb_scr, sems = rest
     else:
@@ -134,15 +354,11 @@ def _kernel(
     px = tj * TILE + lane % TILE
     py = ti * TILE + lane // TILE
 
-    # subpixel offsets: fixed centers (reference parity) or, when a nonzero
-    # jitter seed is provided, per-pixel uniform jitter from the TPU PRNG —
-    # the 1-spp progressive-accumulation mode (completes the frameCount
-    # scaffolding on the fast path)
+    # subpixel offsets: fixed centers (reference parity) or per-pixel PRNG
+    # jitter (the 1-spp progressive-accumulation mode)
     if use_jitter:
         seed = cam_ref[11]
-        pltpu.prng_seed(
-            seed.astype(jnp.int32) * 9781 + ti * 7919 + tj * 104729
-        )
+        pltpu.prng_seed(seed.astype(jnp.int32) * 9781 + ti * 7919 + tj * 104729)
 
         def rand01():
             bits = pltpu.prng_random_bits((SUB, 128))
@@ -188,223 +404,69 @@ def _kernel(
     dcy = 2.0 * (qw * c_uvy + c_uuvy) + vcy
     dcz = 2.0 * (qw * c_uvz + c_uuvz) + (-focal)
 
-    # ---- accumulators live in the output refs ----
-    t_out[0, 0] = jnp.full((SUB, 128), INF, f32)
-    nx_out[0, 0] = jnp.zeros((SUB, 128), f32)
-    ny_out[0, 0] = jnp.zeros((SUB, 128), f32)
-    nz_out[0, 0] = jnp.zeros((SUB, 128), f32)
-    tri_out[0, 0] = jnp.full((SUB, 128), -1, jnp.int32)
-
-    stack_n[0] = entry_ref[ti, tj]
-    stack_d[0] = f32(0.0)
-    maxb_scr[0] = f32(INF)
-    maxb_scr[1] = f32(INF)
-
-    def fetch(i, node):
-        return pltpu.make_async_copy(qnodes_ref.at[node], node_scr.at[i], sems.at[i])
-
-    def process(i, valid, node, sp):
-        """Consume fetched record i: MT leaf children, push internal ones.
-
-        Vector→scalar syncs are the dominant per-visit cost on TPU, so this
-        does exactly ONE lane reduction per visit (an OR of the internal
-        children's hit bits). Child ordering and occlusion culling use the
-        scalar point-to-box distance from the shared camera origin — a
-        conservative lower bound on every lane's slab entry distance (primary
-        rays share their origin), computed entirely on the scalar core.
-        """
-
-        @pl.when(valid)
-        def _():
-            fetch(i, node).wait()
-
-        best0 = t_out[0, 0]
-        maxb2 = maxb_scr[1]  # squared block-max best-t
-
-        push_ref = [jnp.int32(0)] * 4
-        push_dist = [f32(0.0)] * 4
-        push_internal = [jnp.bool_(False)] * 4
-        push_order = [f32(0.0)] * 4
-        accs = [jnp.zeros((SUB, 128), jnp.int32), jnp.zeros((SUB, 128), jnp.int32)]
-
-        for k in range(4):
-            refc = node_scr[i, 24 + k]
-            is_empty = refc <= f32(EMPTY_REF)
-            is_leaf = (refc < 0.0) & ~is_empty
-            is_internal = refc >= 0.0
-
-            # --- leaf child: MT straight from the inlined vertices (no box
-            # test — the child box is a conservative hull of the triangle) ---
-            @pl.when(valid & is_leaf & ("nomt" not in _ABLATE))
-            def _(i=i, k=k, refc=refc):
-                b = 32 + 12 * k
-                v0x, v0y, v0z = node_scr[i, b], node_scr[i, b + 1], node_scr[i, b + 2]
-                v1x, v1y, v1z = node_scr[i, b + 3], node_scr[i, b + 4], node_scr[i, b + 5]
-                v2x, v2y, v2z = node_scr[i, b + 6], node_scr[i, b + 7], node_scr[i, b + 8]
-                e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-                e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                inv_det = 1.0 / jnp.where(det == 0.0, f32(1.0), det)
-                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                uu = inv_det * (sx * px_ + sy * py_ + sz * pz_)
-                qcx = sy * e1z - sz * e1y
-                qcy = sz * e1x - sx * e1z
-                qcz = sx * e1y - sy * e1x
-                vv = inv_det * (dx * qcx + dy * qcy + dz * qcz)
-                tt = inv_det * (e2x * qcx + e2y * qcy + e2z * qcz)
-                cur = t_out[0, 0]
-                upd = (
-                    (jnp.abs(det) >= MT_EPS)
-                    & (uu >= 0.0) & (uu <= 1.0)
-                    & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > MT_EPS) & (tt < cur)
-                )
-                gnx = e1y * e2z - e1z * e2y
-                gny = e1z * e2x - e1x * e2z
-                gnz = e1x * e2y - e1y * e2x
-                g_inv = jax.lax.rsqrt(gnx * gnx + gny * gny + gnz * gnz)
-                tri_id = (-refc - 1.0).astype(jnp.int32)
-                t_out[0, 0] = jnp.where(upd, tt, cur)
-                nx_out[0, 0] = jnp.where(upd, gnx * g_inv, nx_out[0, 0])
-                ny_out[0, 0] = jnp.where(upd, gny * g_inv, ny_out[0, 0])
-                nz_out[0, 0] = jnp.where(upd, gnz * g_inv, nz_out[0, 0])
-                tri_out[0, 0] = jnp.where(upd, tri_id, tri_out[0, 0])
-
-            # --- internal child: slab test (vector) + scalar order metric ---
-            mnx, mny, mnz = node_scr[i, 6 * k], node_scr[i, 6 * k + 1], node_scr[i, 6 * k + 2]
-            mxx, mxy, mxz = node_scr[i, 6 * k + 3], node_scr[i, 6 * k + 4], node_scr[i, 6 * k + 5]
-            t1x, t2x = (mnx - ox) * ix, (mxx - ox) * ix
-            t1y, t2y = (mny - oy) * iy, (mxy - oy) * iy
-            t1z, t2z = (mnz - oz) * iz, (mxz - oz) * iz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z),
-            )
-            hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best0)
-            # pack per-slot hit counts into 16-bit fields: slots 0,2 in the
-            # low half of two accumulators, slots 1,3 in the high halves —
-            # 1024 lanes max per field, so sums never carry across fields
-            shift = 16 * (k // 2)
-            acc_idx = k % 2
-            accs[acc_idx] = accs[acc_idx] + jnp.where(hit, jnp.int32(1) << shift, 0)
-
-            # scalar point-to-box distance² from the shared ray origin —
-            # the conservative occlusion-cull metric
-            ddx = jnp.maximum(jnp.maximum(mnx - ox, ox - mxx), f32(0.0))
-            ddy = jnp.maximum(jnp.maximum(mny - oy, oy - mxy), f32(0.0))
-            ddz = jnp.maximum(jnp.maximum(mnz - oz, oz - mxz), f32(0.0))
-            d2 = ddx * ddx + ddy * ddy + ddz * ddz
-
-            # near-first ordering metric: box-center distance projected on
-            # the tile's central ray (direction-aware, unlike d2)
-            proj = (
-                ((mnx + mxx) * 0.5 - ox) * dcx
-                + ((mny + mxy) * 0.5 - oy) * dcy
-                + ((mnz + mxz) * 0.5 - oz) * dcz
-            )
-
-            push_ref[k] = refc.astype(jnp.int32)
-            push_dist[k] = d2
-            push_order[k] = proj
-            push_internal[k] = is_internal & valid & (d2 < maxb2)
-
-        # the two lane reductions of this visit (slot-hit counts)
-        red0 = jnp.sum(accs[0])  # slot0 count | slot2 count << 16
-        red1 = jnp.sum(accs[1])  # slot1 count | slot3 count << 16
-        slot_hit = [
-            (red0 & 0xFFFF) != 0,
-            (red1 & 0xFFFF) != 0,
-            (red0 >> 16) != 0,
-            (red1 >> 16) != 0,
-        ]
-        push_ok = [push_internal[k] & slot_hit[k] for k in range(4)]
-
-        # sorting network: nearest child (smallest projected distance)
-        # pushed last so it pops first
-        refs, dists, orders, oks = push_ref, push_dist, push_order, push_ok
-
-        def swap_if(a, b):
-            da = jnp.where(oks[a], orders[a], f32(-INF))
-            db = jnp.where(oks[b], orders[b], f32(-INF))
-            pred = da < db
-            refs[a], refs[b] = (
-                jnp.where(pred, refs[b], refs[a]),
-                jnp.where(pred, refs[a], refs[b]),
-            )
-            dists[a], dists[b] = (
-                jnp.where(pred, dists[b], dists[a]),
-                jnp.where(pred, dists[a], dists[b]),
-            )
-            orders[a], orders[b] = jnp.where(pred, db, da), jnp.where(pred, da, db)
-            oks[a], oks[b] = (
-                jnp.where(pred, oks[b], oks[a]),
-                jnp.where(pred, oks[a], oks[b]),
-            )
-
-        swap_if(0, 1)
-        swap_if(2, 3)
-        swap_if(0, 2)
-        swap_if(1, 3)
-        swap_if(1, 2)
-
-        for k in range(4):
-            can = oks[k] & (sp < STACK_MAX - 1)
-            sp = jnp.where(can, sp + 1, sp)
-
-            @pl.when(can)
-            def _(k=k, sp=sp):
-                stack_n[sp] = refs[k]
-                stack_d[sp] = dists[k]
-
-        return sp
-
-    def body(carry):
-        sp, visits = carry
-
-        # -- pop up to FRONTIER live entries, overlap their fetch DMAs --
-        nodes, valids = [], []
-        for i in range(FRONTIER):
-            # occlusion cull: skip entries no lane can improve on
-            sp = jax.lax.while_loop(
-                lambda s: (s >= 0) & (stack_d[jnp.maximum(s, 0)] >= maxb_scr[1]),
-                lambda s: s - 1,
-                sp,
-            )
-            valid = sp >= 0
-            node = stack_n[jnp.maximum(sp, 0)]
-
-            @pl.when(valid)
-            def _(i=i, node=node):
-                fetch(i, node).start()
-
-            sp = jnp.where(valid, sp - 1, sp)
-            nodes.append(node)
-            valids.append(valid)
-            visits = visits + jnp.where(valid, 1, 0)
-
-        # -- consume --
-        for i in range(FRONTIER):
-            sp = process(i, valids[i], nodes[i], sp)
-
-        # block-max best-t shrinks monotonically; one reduce per batch
-        mb = jnp.max(t_out[0, 0])
-        maxb_scr[0] = mb
-        maxb_scr[1] = jnp.where(mb >= f32(INF), f32(INF), mb * mb)
-        return sp, visits
-
-    _, total_visits = jax.lax.while_loop(
-        lambda c: c[0] >= 0, body, (jnp.int32(0), jnp.int32(0))
+    _traverse_core(
+        qnodes_ref,
+        t_out, nx_out, ny_out, nz_out, tri_out, visits_out,
+        node_scr, stack_n, stack_d, maxb_scr, sems,
+        dx, dy, dz, ix, iy, iz,
+        ox, oy, oz,
+        ox, oy, oz, ox, oy, oz,        # origin AABB degenerates to a point
+        dcx, dcy, dcz, ox, oy, oz,
+        entry_ref[ti, tj],
     )
-    if visits_out is not None:
-        visits_out[0, 0] = jnp.full((SUB, 128), total_visits, jnp.int32)
+
+
+def _raybuf_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM (1,SUB,128)
+    qnodes_ref,                                        # HBM (M, 128)
+    t_out, nx_out, ny_out, nz_out, tri_out,           # VMEM (1,SUB,128)
+    node_scr, stack_n, stack_d, maxb_scr, sems,
+):
+    """Arbitrary-ray-buffer kernel: bounce waves, shadow rays, custom rays.
+
+    Per-tile statistics (origin AABB, mean direction) replace the shared
+    camera origin for the scalar cull/ordering metrics — conservative for
+    arbitrary per-lane origins.
+    """
+    f32 = jnp.float32
+    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
+    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+
+    def safe_inv(d):
+        return jnp.where(jnp.abs(d) > 1e-8, 1.0 / d, f32(INF))
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    clox, cloy, cloz = jnp.min(ox), jnp.min(oy), jnp.min(oz)
+    chix, chiy, chiz = jnp.max(ox), jnp.max(oy), jnp.max(oz)
+    odx, ody, odz = jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)  # mean dir (scaled)
+    oox = (clox + chix) * 0.5
+    ooy = (cloy + chiy) * 0.5
+    ooz = (cloz + chiz) * 0.5
+
+    class _Wrap:
+        """Adapt (1,SUB,128) out blocks to the core's [0, 0] indexing."""
+
+        def __init__(self, ref):
+            self.ref = ref
+
+        def __getitem__(self, _):
+            return self.ref[0]
+
+        def __setitem__(self, _, val):
+            self.ref[0] = val
+
+    _traverse_core(
+        qnodes_ref,
+        _Wrap(t_out), _Wrap(nx_out), _Wrap(ny_out), _Wrap(nz_out), _Wrap(tri_out),
+        None,
+        node_scr, stack_n, stack_d, maxb_scr, sems,
+        dx, dy, dz, ix, iy, iz,
+        ox, oy, oz,
+        clox, cloy, cloz, chix, chiy, chiz,
+        odx, ody, odz, oox, ooy, ooz,
+        jnp.int32(0),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -485,3 +547,56 @@ def trace_tiles_pallas(
         return img.reshape(height, width)
 
     return tuple(untile(a) for a in outs)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def trace_rays_pallas(
+    qnodes: jax.Array,
+    origins: jax.Array,
+    dirs: jax.Array,
+    interpret: bool = False,
+):
+    """Closest-hit trace of an arbitrary ray buffer through the supernode
+    kernel → (t, nx, ny, nz, tri), each shape (R,).
+
+    Rays are processed in 1024-lane groups; keep them spatially coherent
+    (pixel order for bounce waves) — the block-shared stack bets on it.
+    """
+    r = origins.shape[0]
+    pad = (-r) % (SUB * 128)
+    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+    nt = o.shape[0] // (SUB * 128)
+
+    def plane(a, c):
+        return a[:, c].reshape(nt, SUB, 128)
+
+    in_planes = [plane(o, 0), plane(o, 1), plane(o, 2),
+                 plane(d, 0), plane(d, 1), plane(d, 2)]
+
+    spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.int32),
+    ]
+
+    outs = pl.pallas_call(
+        _raybuf_kernel,
+        grid=(nt,),
+        in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[spec] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((FRONTIER, REC), jnp.float32),
+            pltpu.SMEM((STACK_MAX,), jnp.int32),
+            pltpu.SMEM((STACK_MAX,), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
+            pltpu.SemaphoreType.DMA((FRONTIER,)),
+        ],
+        interpret=interpret,
+    )(*in_planes, qnodes)
+
+    return tuple(a.reshape(-1)[:r] for a in outs)

@@ -64,10 +64,13 @@ class PathTracer:
     """Scene + camera + BVH state and the per-frame render entry point."""
 
     def __init__(self, width: int = 1920, height: int = 1080,
-                 widener: str = "collapse") -> None:
+                 widener: str = "collapse", builder: str = "lbvh") -> None:
         if widener not in ("collapse", "promote", "bvh2"):
             raise ValueError(f"unknown widener {widener!r}")
+        if builder not in ("lbvh", "ploc"):
+            raise ValueError(f"unknown builder {builder!r}")
         self.widener = widener
+        self.builder = builder
         self.width = int(width)
         self.height = int(height)
         self.camera_position = [0.0, 0.0, 3.5]        # PathTracer.js:67
@@ -116,7 +119,12 @@ class PathTracer:
             return
 
         t0 = time.perf_counter()
-        self._bvh2 = build_lbvh2(self._tris_dev)
+        if self.builder == "ploc":
+            from .ops.ploc import build_ploc2
+
+            self._bvh2 = build_ploc2(self._tris_dev)
+        else:
+            self._bvh2 = build_lbvh2(self._tris_dev)
         jax.block_until_ready(self._bvh2.bounds_u32)
         t1 = time.perf_counter()
 
@@ -236,6 +244,7 @@ class PathTracer:
             bounces=bounces,
             fov_degrees=self.fov_degrees,
             brute=len(self.triangles_data) <= _BRUTE_FORCE_MAX_TRIS,
+            qnodes=self._qnodes if self._use_pallas else None,
         )
         self._accum = accumulate(self._accum, sample, jnp.int32(self.frame_count))
         self.frame_count += 1

@@ -80,10 +80,25 @@ def _normals_for(tris: jax.Array, tri_idx: jax.Array, d: jax.Array) -> jax.Array
     return n * jnp.where(flip == 0.0, 1.0, flip)
 
 
-def _trace(wide, tris, o, d, brute: bool):
+def _trace(wide, qnodes, tris, o, d, brute: bool):
+    """One wave: closest hit + ray-facing normals.
+
+    Uses the Pallas ray-buffer kernel when supernode records are supplied
+    (TPU fast path — normals come straight out of the kernel), else the XLA
+    traversal or the brute-force path."""
+    if qnodes is not None and not brute:
+        from .ops.pallas.traverse import trace_rays_pallas
+
+        t, nx, ny, nz, tri = trace_rays_pallas(qnodes, o, d)
+        n = jnp.stack([nx, ny, nz], axis=-1)
+        flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
+        n = n * jnp.where(flip == 0.0, 1.0, flip)
+        return t, tri, n
     if brute:
-        return trace_rays_brute(tris, o, d)
-    return trace_rays(wide, tris, o, d)
+        t, tri = trace_rays_brute(tris, o, d)
+    else:
+        t, tri = trace_rays(wide, tris, o, d)
+    return t, tri, _normals_for(tris, tri, d)
 
 
 @partial(
@@ -101,6 +116,7 @@ def pt_sample_frame(
     bounces: int = 3,
     fov_degrees: float = 70.0,
     brute: bool = False,
+    qnodes: jax.Array | None = None,
 ):
     """One progressive sample: jittered primary rays + path-traced bounces.
 
@@ -135,7 +151,7 @@ def pt_sample_frame(
     alive = jnp.ones((r,), bool)
 
     for b in range(bounces):
-        t, tri = _trace(wide, tris, o, d, brute)
+        t, tri, n = _trace(wide, qnodes, tris, o, d, brute)
         hit = (tri >= 0) & alive
         miss = ~(tri >= 0) & alive
 
@@ -145,11 +161,10 @@ def pt_sample_frame(
             miss[:, None], throughput * env, 0.0
         )
 
-        n = _normals_for(tris, tri, d)
         p = o + d * t[:, None] + n * _EPS_OFFSET
 
         # next-event estimation: shadow ray toward the sun
-        st, stri = _trace(wide, tris, p, jnp.broadcast_to(sun, p.shape), brute)
+        _, stri, _ = _trace(wide, qnodes, tris, p, jnp.broadcast_to(sun, p.shape), brute)
         lit = stri < 0
         ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
         direct = base[None, :] * (ndotl * lit)[:, None]

@@ -144,3 +144,19 @@ def test_widener_variants_render_identically():
         imgs.append(np.asarray(pt.render()))
     np.testing.assert_array_equal(imgs[0], imgs[1])
     np.testing.assert_array_equal(imgs[0], imgs[2])
+
+
+def test_ploc_builder_renders_identically_to_brute():
+    import numpy as np
+    from raytracer_tpu.utils import procgen
+    from raytracer_tpu.reference import cpu_tracer
+
+    tris = procgen.make_icosphere(2)
+    pt = PathTracer(width=48, height=48, builder="ploc")
+    pt.set_scene(Scene().set_triangles(tris))
+    img = np.asarray(pt.render())
+    want, _, _ = cpu_tracer.render_oracle(
+        tris, pt.camera_position, pt.camera_quaternion, 48, 48
+    )
+    diff = np.abs(img.astype(int) - want.astype(int))
+    assert (diff <= 1).mean() > 0.999

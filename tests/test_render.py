@@ -122,3 +122,23 @@ def test_quantize_matches_wgsl_rounding():
     assert q[0, 0, 0] == 0
     assert q[1, 0, 1] == 128  # 0.5*255=127.5 → round-half-even → 128? np.round→128
     assert q[1, 0, 2] == 255
+
+
+def test_raybuf_kernel_matches_brute_on_scattered_rays(rng):
+    """The Pallas ray-buffer kernel (bounce/shadow waves) in interpret mode
+    vs brute force on rays with arbitrary per-lane origins."""
+    import jax
+
+    from raytracer_tpu.ops.pallas.traverse import make_qnodes, trace_rays_pallas
+
+    tris = procgen.make_icosphere(2)
+    qn = make_qnodes(_wide(tris), jax.numpy.asarray(tris))
+    o = rng.uniform(-2, 2, (2048, 3)).astype(np.float32)
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t, nx, ny, nz, tri = trace_rays_pallas(qn, o, d, interpret=True)
+    t_bf, tri_bf = trace_rays_brute(jax.numpy.asarray(tris), o, d)
+    t, tri, t_bf, tri_bf = map(np.asarray, (t, tri, t_bf, tri_bf))
+    np.testing.assert_array_equal(tri >= 0, tri_bf >= 0)
+    hit = tri >= 0
+    np.testing.assert_allclose(t[hit], t_bf[hit], rtol=1e-5)
