@@ -55,7 +55,7 @@ TILE = 32                 # pixels per program side; TILE² rays per program (be
 _ABLATE = os.environ.get("RT_ABLATE", "")  # perf ablations: "nomt", "noslab"
 SUB = TILE * TILE // 128  # sublane count of the ray lane-tile (TILE²=SUB×128)
 STACK_MAX = 64            # renderer.wgsl:8
-FRONTIER = 2              # stack entries popped/fetched per loop iteration
+FRONTIER = 1              # stack entries popped/fetched per loop iteration
 REC = 128                 # record width (f32 words) — lane-tile aligned
 EMPTY_REF = -float(1 << 28)
 INF = 1e30
