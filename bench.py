@@ -91,12 +91,9 @@ def main(argv=None) -> int:
         qn = make_qnodes(wide, tris)
         jax.block_until_ready(qn)
         build_s = time.perf_counter() - t0
-        pw = -(-width // TILE) * TILE
-        ph = -(-height // TILE) * TILE
-
         def frame_async(i):
             pos = cam_pos0 + np.array([1e-4 * i, 0, 0], np.float32)
-            out = trace_tiles_pallas(qn, pos, cam_quat, pw, ph)
+            out = trace_tiles_pallas(qn, pos, cam_quat, width, height)
             return out[4]
 
         def frame(i):
@@ -139,8 +136,8 @@ def main(argv=None) -> int:
         @jax.jit
         def render_n(qn_, wide_, poss):
             def one(pos):
-                entries = compute_tile_entries(wide_, pos, cam_quat, pw, ph, tile=TILE)
-                out = trace_tiles_pallas(qn_, pos, cam_quat, pw, ph, entries=entries)
+                entries = compute_tile_entries(wide_, pos, cam_quat, width, height, tile=TILE)
+                out = trace_tiles_pallas(qn_, pos, cam_quat, width, height, entries=entries)
                 return jnp.sum(out[4] >= 0)
             return jax.lax.map(one, poss)
 

@@ -1,21 +1,30 @@
-"""Pallas TPU traversal kernel — block-shared-stack packet tracing.
+"""Pallas TPU traversal kernel — multi-stream block-shared-stack tracing.
 
 The TPU-native replacement for the WGSL megakernel's SIMT traversal
 (renderer.wgsl:210-346). The mapping of concepts:
 
 * WGSL workgroup of 16×16 threads × 2×2 ray packets → ONE Pallas program per
-  32×32 pixel tile whose 1024 rays live in the vector lanes of an (8,128)
-  VPU tile. The reference's per-thread packet masking becomes per-lane
-  masking, which the VPU does for free.
-* Per-thread stack in registers → ONE scalar stack per tile in SMEM, shared
-  by all 1024 rays. A node is visited iff *any* ray in the tile wants it —
-  the packet-coherence bet of the reference (renderer.wgsl:4-6) taken to
-  1024-wide. Box tests against a visited node run on all lanes at once.
+  2×2 block of 32×32-pixel tiles. Each tile's 1024 rays live in the vector
+  lanes of an (8,128) VPU tile; the reference's per-thread packet masking
+  becomes per-lane masking, which the VPU does for free.
+* Per-thread stack in registers → one scalar stack per tile in SMEM, shared
+  by all 1024 rays of that tile. A node is visited iff *any* ray in the tile
+  wants it — the packet-coherence bet of the reference (renderer.wgsl:4-6)
+  taken to 1024-wide.
 * Divergent memory access (the SIMT gathers of node + triangle records) →
   ONE scalar-indexed async DMA per visit: a 512-byte "supernode" record
   (4 child AABBs, child refs, and the full triangle data of leaf children
   inlined) lands in SMEM and all its fields are *scalars* broadcast against
   the lane tile. No per-lane gathers exist anywhere in the kernel.
+* **Four independent streams per program** (the round-2 redesign): BVH
+  traversal is a dependent pointer chase — a single stack exposes the full
+  ~300 ns HBM→SMEM DMA latency on every visit (round 1 measured
+  ~380 ns/visit). Four tile-stacks round-robined in one loop iteration give
+  each stream's DMA the other three streams' consumption (~340 ns) to land:
+  measured ~129 ns/visit, within 13% of the no-DMA consumption floor
+  (tools/mb_results_r2.md). DMA start/wait pairs are unconditional per
+  iteration (drained streams fetch node 0 as a harmless dummy) — Mosaic
+  mishandles conditionally-skipped DMAs across while_loop iterations.
 * Ray generation (renderer.wgsl:364-396) is fused into the kernel (pixel
   coords from program_id + iota), and hit normals are tracked in vector
   registers, so per-ray HBM traffic is exactly the 5 output planes.
@@ -29,11 +38,11 @@ Supernode record (128 × f32, Mosaic lane-aligned; built by make_qnodes):
   [32+12k : 41+12k]  leaf triangle vertices for slot k (v0,v1,v2), else 0
 
 Traversal: internal children are slab-tested on all lanes and pushed
-far→near by *block-min* entry distance (packet analog of the WGSL's
-near-first ordering, renderer.wgsl:314-342); leaf children skip the box test
-entirely — Möller–Trumbore runs directly on all lanes from the inlined
-vertices (the child box is a conservative hull of the triangle, so the box
-test could only pass a superset of the MT-accepted lanes).
+far→near by projected-center distance along the tile ray (packet analog of
+the WGSL's near-first ordering, renderer.wgsl:314-342); leaf children skip
+the box test entirely — Möller–Trumbore runs directly on all lanes from the
+inlined vertices (the child box is a conservative hull of the triangle, so
+the box test could only pass a superset of the MT-accepted lanes).
 """
 
 from __future__ import annotations
@@ -49,17 +58,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..trace import WideBVH
 
-__all__ = ["make_qnodes", "trace_tiles_pallas", "TILE", "REC"]
+__all__ = ["make_qnodes", "trace_tiles_pallas", "trace_rays_pallas", "TILE", "REC"]
 
-TILE = 32                 # pixels per program side; TILE² rays per program (best measured: 32)
+TILE = 32                 # pixels per tile side; TILE² rays per stream
 _ABLATE = os.environ.get("RT_ABLATE", "")  # perf ablations: "nomt", "noslab"
 SUB = TILE * TILE // 128  # sublane count of the ray lane-tile (TILE²=SUB×128)
 STACK_MAX = 64            # renderer.wgsl:8
-FRONTIER = 1              # stack entries popped/fetched per loop iteration
+GROUP = 2                 # program owns a GROUP×GROUP block of tiles
+NS = GROUP * GROUP        # independent traversal streams per program
 REC = 128                 # record width (f32 words) — lane-tile aligned
 EMPTY_REF = -float(1 << 28)
 INF = 1e30
 MT_EPS = 1e-7
+
+_MAX_NODES = 1 << 24      # refs are exact integer-valued f32 (ADVICE.md r1)
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +83,12 @@ def make_qnodes(wide: WideBVH, tris: jax.Array) -> jax.Array:
     """WideBVH + (T,3,3) triangles → supernode records (M, 128) f32."""
     m = wide.cref.shape[0]
     n_tris = tris.shape[0]
+    if m >= _MAX_NODES or n_tris >= _MAX_NODES:
+        raise ValueError(
+            f"scene too large for the f32 ref encoding: {m} nodes / {n_tris} "
+            f"triangles (max {_MAX_NODES - 1}) — indices above 2^24 lose "
+            "precision as f32"
+        )
     rec = jnp.zeros((m, REC), jnp.float32)
 
     boxes = jnp.concatenate([wide.cmn, wide.cmx], axis=-1).reshape(m, 24)
@@ -91,62 +109,87 @@ def make_qnodes(wide: WideBVH, tris: jax.Array) -> jax.Array:
     )
     rec = rec.at[:, 24:28].set(enc)
 
-    # inline leaf triangle vertices per slot
+    # inline leaf triangle vertices per slot; for internal children the same
+    # region holds the child's bounding-sphere radius (the cull metric
+    # ``max(proj − radius, 0)`` needs it — one scalar read replaces the
+    # 17-op gap-distance computation per child)
     flat_tris = tris.reshape(n_tris, 9)
     safe_tri = jnp.clip(tri_idx, 0, n_tris - 1)
     verts = jnp.where(is_leaf[..., None], flat_tris[safe_tri], 0.0)  # (M,4,9)
+    radius = 0.5 * jnp.linalg.norm(wide.cmx - wide.cmn, axis=-1)     # (M,4)
+    radius = jnp.where(jnp.isfinite(radius), radius, 0.0)
     for k in range(4):
         rec = rec.at[:, 32 + 12 * k : 41 + 12 * k].set(verts[:, k, :])
+        rec = rec.at[:, 32 + 12 * k].set(
+            jnp.where(is_leaf[:, k], verts[:, k, 0], radius[:, k])
+        )
     return rec
 
 
 # ---------------------------------------------------------------------------
-# Kernel
+# Kernel core
 # ---------------------------------------------------------------------------
 
-def _traverse_core(
-    qnodes_ref,
-    t_out, nx_out, ny_out, nz_out, tri_out, visits_out,
-    node_scr, stack_n, stack_d, maxb_scr, sems,
-    dx, dy, dz, ix, iy, iz,          # (SUB,128) ray vectors
-    ox, oy, oz,                       # origins: scalars (primary) or vectors
-    clox, cloy, cloz, chix, chiy, chiz,   # scalar origin-AABB (cull metric)
-    odx, ody, odz, oox, ooy, ooz,     # scalar ordering ray (dir + origin)
-    entry,                            # scalar entry node
-):
-    """Shared block-traversal loop (see module docstring).
+class _Stream:
+    """Per-stream traversal state: ray vectors, scalar metrics, output refs.
 
-    Vector→scalar syncs are the dominant per-visit cost on TPU, so each visit
-    does exactly two lane reductions (packed slot-hit counts). Ordering and
-    occlusion culling run entirely on the scalar core: the cull metric is the
-    gap distance between the child box and the tile's origin AABB (primary
-    rays: a point) — a conservative lower bound on any lane's hit distance —
-    and the ordering metric projects child box centers onto a representative
-    tile ray.
+    Everything here is a traced value or a ref accessor captured at trace
+    time — the class only exists to keep the NS-stream core readable.
     """
+
+    def __init__(self, *, dirs, invs, origin, order_slack, order_d,
+                 order_o, entry, write, read):
+        self.dx, self.dy, self.dz = dirs
+        self.ix, self.iy, self.iz = invs
+        self.ox, self.oy, self.oz = origin       # scalars or (SUB,128)
+        self.order_slack = order_slack           # origin-AABB radius (0 = point)
+        self.order_d = order_d                   # scalar UNIT ordering ray dir
+        self.order_o = order_o
+        self.entry = entry                       # scalar entry node index
+        self.write = write                       # write(field, value)
+        self.read = read                         # read(field) -> tile
+
+    def read_t(self):
+        return self.read("t")
+
+
+def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
+                      maxb_scr, state_scr, sems, visits_out=None):
+    """Round-robin multi-stream traversal loop (see module docstring).
+
+    Per-stream mutable state lives in SMEM (``state_scr``: rows 0=stack
+    pointer, 1=pending flag, 2=visit count) so the whole consume step can sit
+    behind ``pl.when`` — a drained or cull-skipped stream costs only a scalar
+    branch per iteration, not the full vector consume."""
     f32 = jnp.float32
+    ns = len(streams)
 
-    t_out[0, 0] = jnp.full((SUB, 128), INF, f32)
-    nx_out[0, 0] = jnp.zeros((SUB, 128), f32)
-    ny_out[0, 0] = jnp.zeros((SUB, 128), f32)
-    nz_out[0, 0] = jnp.zeros((SUB, 128), f32)
-    tri_out[0, 0] = jnp.full((SUB, 128), -1, jnp.int32)
+    for s, st in enumerate(streams):
+        st.write("t", jnp.full((SUB, 128), INF, f32))
+        st.write("nx", jnp.zeros((SUB, 128), f32))
+        st.write("ny", jnp.zeros((SUB, 128), f32))
+        st.write("nz", jnp.zeros((SUB, 128), f32))
+        st.write("tri", jnp.full((SUB, 128), -1, jnp.int32))
+        stack_n[s, 0] = st.entry
+        stack_d[s, 0] = f32(0.0)
+        maxb_scr[s, 0] = f32(INF)
+        maxb_scr[s, 1] = f32(INF)
+        state_scr[0, s] = jnp.int32(0)   # sp: entry sits at slot 0
+        state_scr[1, s] = jnp.int32(0)   # pending
+        state_scr[2, s] = jnp.int32(0)   # visits
 
-    stack_n[0] = entry
-    stack_d[0] = f32(0.0)
-    maxb_scr[0] = f32(INF)
-    maxb_scr[1] = f32(INF)
+    def fetch(s, node):
+        return pltpu.make_async_copy(qnodes_ref.at[node], node_scr.at[s], sems.at[s])
 
-    def fetch(i, node):
-        return pltpu.make_async_copy(qnodes_ref.at[node], node_scr.at[i], sems.at[i])
+    def process(s):
+        """Consume stream ``s``'s fetched record: MT its leaf children, slab-
+        test its internal children, push survivors near-first. Runs under
+        pl.when(pending) — the record DMA has already been waited on."""
+        st = streams[s]
+        sp = state_scr[0, s]
 
-    def process(i, valid, node, sp):
-        @pl.when(valid)
-        def _():
-            fetch(i, node).wait()
-
-        best0 = t_out[0, 0]
-        maxb2 = maxb_scr[1]
+        best0 = st.read_t()
+        maxb2 = maxb_scr[s, 1]
 
         push_ref = [jnp.int32(0)] * 4
         push_dist = [f32(0.0)] * 4
@@ -154,19 +197,33 @@ def _traverse_core(
         push_order = [f32(0.0)] * 4
         accs = [jnp.zeros((SUB, 128), jnp.int32), jnp.zeros((SUB, 128), jnp.int32)]
 
-        for k in range(4):
-            refc = node_scr[i, 24 + k]
-            is_empty = refc <= f32(EMPTY_REF)
-            is_leaf = (refc < 0.0) & ~is_empty
-            is_internal = refc >= 0.0
+        dx, dy, dz = st.dx, st.dy, st.dz
+        ix, iy, iz = st.ix, st.iy, st.iz
+        ox, oy, oz = st.ox, st.oy, st.oz
+        (odx, ody, odz), (oox, ooy, ooz) = st.order_d, st.order_o
 
-            # --- leaf child: MT straight from the inlined vertices ---
-            @pl.when(valid & is_leaf & ("nomt" not in _ABLATE))
-            def _(i=i, k=k, refc=refc):
+        leaf_flags = []
+        for k in range(4):
+            refc = node_scr[s, 24 + k]
+            is_empty = refc <= f32(EMPTY_REF)
+            leaf_flags.append((refc < 0.0) & ~is_empty)
+        any_leaf = leaf_flags[0] | leaf_flags[1] | leaf_flags[2] | leaf_flags[3]
+
+        # --- leaf children: MT straight from the inlined vertices. ONE
+        # scalar branch for the whole visit (pl.when bubbles dominate the
+        # per-visit cost, so per-child masking is vectorized instead),
+        # best-hit state chained through registers, one write per plane. ---
+        @pl.when(any_leaf & ("nomt" not in _ABLATE))
+        def _(s=s):
+            cur = st.read_t()
+            vnx, vny, vnz = st.read("nx"), st.read("ny"), st.read("nz")
+            vtri = st.read("tri")
+            for k in range(4):
+                refc = node_scr[s, 24 + k]
                 b = 32 + 12 * k
-                v0x, v0y, v0z = node_scr[i, b], node_scr[i, b + 1], node_scr[i, b + 2]
-                v1x, v1y, v1z = node_scr[i, b + 3], node_scr[i, b + 4], node_scr[i, b + 5]
-                v2x, v2y, v2z = node_scr[i, b + 6], node_scr[i, b + 7], node_scr[i, b + 8]
+                v0x, v0y, v0z = node_scr[s, b], node_scr[s, b + 1], node_scr[s, b + 2]
+                v1x, v1y, v1z = node_scr[s, b + 3], node_scr[s, b + 4], node_scr[s, b + 5]
+                v2x, v2y, v2z = node_scr[s, b + 6], node_scr[s, b + 7], node_scr[s, b + 8]
                 e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
                 e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
 
@@ -182,9 +239,9 @@ def _traverse_core(
                 qcz = sx * e1y - sy * e1x
                 vv = inv_det * (dx * qcx + dy * qcy + dz * qcz)
                 tt = inv_det * (e2x * qcx + e2y * qcy + e2z * qcz)
-                cur = t_out[0, 0]
                 upd = (
-                    (jnp.abs(det) >= MT_EPS)
+                    leaf_flags[k]                  # scalar → lane broadcast
+                    & (jnp.abs(det) >= MT_EPS)
                     & (uu >= 0.0) & (uu <= 1.0)
                     & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > MT_EPS) & (tt < cur)
@@ -194,60 +251,76 @@ def _traverse_core(
                 gnz = e1x * e2y - e1y * e2x
                 g_inv = jax.lax.rsqrt(gnx * gnx + gny * gny + gnz * gnz)
                 tri_id = (-refc - 1.0).astype(jnp.int32)
-                t_out[0, 0] = jnp.where(upd, tt, cur)
-                nx_out[0, 0] = jnp.where(upd, gnx * g_inv, nx_out[0, 0])
-                ny_out[0, 0] = jnp.where(upd, gny * g_inv, ny_out[0, 0])
-                nz_out[0, 0] = jnp.where(upd, gnz * g_inv, nz_out[0, 0])
-                tri_out[0, 0] = jnp.where(upd, tri_id, tri_out[0, 0])
+                cur = jnp.where(upd, tt, cur)
+                vnx = jnp.where(upd, gnx * g_inv, vnx)
+                vny = jnp.where(upd, gny * g_inv, vny)
+                vnz = jnp.where(upd, gnz * g_inv, vnz)
+                vtri = jnp.where(upd, tri_id, vtri)
+            st.write("t", cur)
+            st.write("nx", vnx)
+            st.write("ny", vny)
+            st.write("nz", vnz)
+            st.write("tri", vtri)
+            # shrink the cull bound — only leaf visits can improve it
+            mb = jnp.max(cur)
+            maxb_scr[s, 0] = mb
+            maxb_scr[s, 1] = mb
+
+        for k in range(4):
+            refc = node_scr[s, 24 + k]
+            is_internal = refc >= 0.0
 
             # --- internal child: slab test (vector) + scalar metrics ---
-            mnx, mny, mnz = node_scr[i, 6 * k], node_scr[i, 6 * k + 1], node_scr[i, 6 * k + 2]
-            mxx, mxy, mxz = node_scr[i, 6 * k + 3], node_scr[i, 6 * k + 4], node_scr[i, 6 * k + 5]
-            t1x, t2x = (mnx - ox) * ix, (mxx - ox) * ix
-            t1y, t2y = (mny - oy) * iy, (mxy - oy) * iy
-            t1z, t2z = (mnz - oz) * iz, (mxz - oz) * iz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z),
-            )
-            hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best0)
+            mnx, mny, mnz = node_scr[s, 6 * k], node_scr[s, 6 * k + 1], node_scr[s, 6 * k + 2]
+            mxx, mxy, mxz = node_scr[s, 6 * k + 3], node_scr[s, 6 * k + 4], node_scr[s, 6 * k + 5]
+            if "noslab" in _ABLATE:
+                hit = (mnx + mny + mnz) * 0.0 + best0 > 0.0
+            else:
+                t1x, t2x = (mnx - ox) * ix, (mxx - ox) * ix
+                t1y, t2y = (mny - oy) * iy, (mxy - oy) * iy
+                t1z, t2z = (mnz - oz) * iz, (mxz - oz) * iz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best0)
             # pack per-slot hit counts into 16-bit fields (≤1024 per field)
             shift = 16 * (k // 2)
             accs[k % 2] = accs[k % 2] + jnp.where(hit, jnp.int32(1) << shift, 0)
 
-            # conservative cull: gap distance² between the child box and the
-            # tile's origin AABB
-            ddx = jnp.maximum(jnp.maximum(mnx - chix, clox - mxx), f32(0.0))
-            ddy = jnp.maximum(jnp.maximum(mny - chiy, cloy - mxy), f32(0.0))
-            ddz = jnp.maximum(jnp.maximum(mnz - chiz, cloz - mxz), f32(0.0))
-            d2 = ddx * ddx + ddy * ddy + ddz * ddz
-
-            # near-first ordering: box center projected on the tile ray
+            # near-first ordering: box center projected on the stream ray
             proj = (
                 ((mnx + mxx) * 0.5 - oox) * odx
                 + ((mny + mxy) * 0.5 - ooy) * ody
                 + ((mnz + mxz) * 0.5 - ooz) * odz
             )
+            # conservative cull bound: any hit t ≥ |box center − origin|
+            # − box radius − origin-AABB radius ≥ proj − r − slack
+            r = node_scr[s, 32 + 12 * k]
+            dist_lb = jnp.maximum(proj - r - st.order_slack, f32(0.0))
 
             push_ref[k] = refc.astype(jnp.int32)
-            push_dist[k] = d2
+            push_dist[k] = dist_lb
             push_order[k] = proj
-            push_internal[k] = is_internal & valid & (d2 < maxb2)
+            push_internal[k] = is_internal & (dist_lb < maxb2)
 
         # the two lane reductions of this visit (slot-hit counts)
-        red0 = jnp.sum(accs[0])
-        red1 = jnp.sum(accs[1])
-        slot_hit = [
-            (red0 & 0xFFFF) != 0,
-            (red1 & 0xFFFF) != 0,
-            (red0 >> 16) != 0,
-            (red1 >> 16) != 0,
-        ]
-        push_ok = [push_internal[k] & slot_hit[k] for k in range(4)]
+        if "noreduce" in _ABLATE:
+            push_ok = push_internal
+        else:
+            red0 = jnp.sum(accs[0])
+            red1 = jnp.sum(accs[1])
+            slot_hit = [
+                (red0 & 0xFFFF) != 0,
+                (red1 & 0xFFFF) != 0,
+                (red0 >> 16) != 0,
+                (red1 >> 16) != 0,
+            ]
+            push_ok = [push_internal[k] & slot_hit[k] for k in range(4)]
 
         # sorting network: nearest child pushed last so it pops first
         refs, dists, orders, oks = push_ref, push_dist, push_order, push_ok
@@ -270,57 +343,93 @@ def _traverse_core(
                 jnp.where(pred, oks[a], oks[b]),
             )
 
-        swap_if(0, 1)
-        swap_if(2, 3)
-        swap_if(0, 2)
-        swap_if(1, 3)
-        swap_if(1, 2)
+        if "nosort" not in _ABLATE:
+            swap_if(0, 1)
+            swap_if(2, 3)
+            swap_if(0, 2)
+            swap_if(1, 3)
+            swap_if(1, 2)
 
+        # branchless pushes: rejected slots write to the dump row STACK_MAX
         for k in range(4):
             can = oks[k] & (sp < STACK_MAX - 1)
             sp = jnp.where(can, sp + 1, sp)
+            pos = jnp.where(can, sp, STACK_MAX)
+            stack_n[s, pos] = refs[k]
+            stack_d[s, pos] = dists[k]
 
-            @pl.when(can)
-            def _(k=k, sp=sp):
-                stack_n[sp] = refs[k]
-                stack_d[sp] = dists[k]
+        state_scr[0, s] = sp
+        state_scr[2, s] = state_scr[2, s] + 1
 
-        return sp
+    # prologue: dummy fetch per stream so the loop's wait is always paired
+    for s in range(ns):
+        fetch(s, 0).start()
 
-    def body(carry):
-        sp, visits = carry
-        nodes, valids = [], []
-        for i in range(FRONTIER):
-            sp = jax.lax.while_loop(
-                lambda s: (s >= 0) & (stack_d[jnp.maximum(s, 0)] >= maxb_scr[1]),
-                lambda s: s - 1,
-                sp,
-            )
-            valid = sp >= 0
-            node = stack_n[jnp.maximum(sp, 0)]
+    def body(_):
+        cont = jnp.bool_(False)
+        for s in range(ns):
+            fetch(s, 0).wait()
 
-            @pl.when(valid)
-            def _(i=i, node=node):
-                fetch(i, node).start()
+            @pl.when(state_scr[1, s] != 0)
+            def _(s=s):
+                process(s)
 
-            sp = jnp.where(valid, sp - 1, sp)
-            nodes.append(node)
-            valids.append(valid)
-            visits = visits + jnp.where(valid, 1, 0)
+            # branchless pop: culled entries are discarded (one iteration
+            # slot, scalar cost only) instead of skip-looped
+            sp = state_scr[0, s]
+            live = sp >= 0
+            spc = jnp.maximum(sp, 0)
+            valid = live & (stack_d[s, spc] < maxb_scr[s, 1])
+            node = jnp.where(valid, stack_n[s, spc], 0)
+            fetch(s, node).start()
+            sp_next = jnp.where(live, sp - 1, sp)
+            state_scr[0, s] = sp_next
+            state_scr[1, s] = valid.astype(jnp.int32)
+            cont = cont | valid | (sp_next >= 0)
+        return cont
 
-        for i in range(FRONTIER):
-            sp = process(i, valids[i], nodes[i], sp)
+    jax.lax.while_loop(lambda c: c, body, jnp.bool_(True))
 
-        mb = jnp.max(t_out[0, 0])
-        maxb_scr[0] = mb
-        maxb_scr[1] = jnp.where(mb >= jnp.float32(INF), jnp.float32(INF), mb * mb)
-        return sp, visits
+    # epilogue: every stream has one outstanding (dummy) fetch
+    for s in range(ns):
+        fetch(s, 0).wait()
 
-    _, total_visits = jax.lax.while_loop(
-        lambda c: c[0] >= 0, body, (jnp.int32(0), jnp.int32(0))
-    )
     if visits_out is not None:
-        visits_out[0, 0] = jnp.full((SUB, 128), total_visits, jnp.int32)
+        for s, st in enumerate(streams):
+            st.write("visits", jnp.full((SUB, 128), state_scr[2, s], jnp.int32))
+
+
+def _hash01(a, b, c):
+    """Counter-based subpixel jitter in [0,1): an integer finalizer hash of
+    (pixel-x, pixel-y, seed). Backend-independent by construction — the same
+    bits come out of interpret mode, the CPU fallback, and the TPU, which is
+    what makes the 1-spp progressive stream testable in CI."""
+    h = (a * jnp.int32(-1640531535) + b * jnp.int32(-2048144777)
+         + c * jnp.int32(-1028477379)).astype(jnp.uint32)  # 0x9E3779B1 etc.
+    h = h ^ (h >> jnp.uint32(16))
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> jnp.uint32(15))
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> jnp.uint32(16))
+    # Mosaic can't cast u32→f32 directly; >>8 fits in i32 (< 2^24)
+    h24 = (h >> jnp.uint32(8)).astype(jnp.int32)
+    return h24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+
+
+def _rotate_quat(qx, qy, qz, qw, dx, dy, dz):
+    """Rotate (dx,dy,dz) by quaternion — renderer.wgsl:66-72 semantics.
+    Works for scalars and (SUB,128) tiles alike."""
+    uvx = qy * dz - qz * dy
+    uvy = qz * dx - qx * dz
+    uvz = qx * dy - qy * dx
+    uuvx = qy * uvz - qz * uvy
+    uuvy = qz * uvx - qx * uvz
+    uuvz = qx * uvy - qy * uvx
+    return (
+        2.0 * (qw * uvx + uuvx) + dx,
+        2.0 * (qw * uvy + uuvy) + dy,
+        2.0 * (qw * uvz + uuvz) + dz,
+    )
 
 
 def _kernel(
@@ -328,15 +437,15 @@ def _kernel(
     cam_ref,            # SMEM (16,) f32: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H, seed
     entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes
     qnodes_ref,         # HBM (M, 128) f32
-    t_out, nx_out, ny_out, nz_out, tri_out,   # VMEM (1,1,SUB,128)
-    *rest,              # [visits_out,] node_scr, stack_n, stack_d, maxb_scr, sems
+    t_out, nx_out, ny_out, nz_out, tri_out,   # VMEM (GROUP,GROUP,SUB,128)
+    *rest,              # [visits_out,] node_scr, stack_n, stack_d, maxb_scr, state_scr, sems
 ):
-    """Primary-ray kernel: fused in-kernel ray generation."""
-    if len(rest) == 6:
-        visits_out, node_scr, stack_n, stack_d, maxb_scr, sems = rest
+    """Primary-ray kernel: fused in-kernel ray generation, NS streams."""
+    if len(rest) == 7:
+        visits_out, node_scr, stack_n, stack_d, maxb_scr, state_scr, sems = rest
     else:
         visits_out = None
-        node_scr, stack_n, stack_d, maxb_scr, sems = rest
+        node_scr, stack_n, stack_d, maxb_scr, state_scr, sems = rest
     f32 = jnp.float32
 
     ox, oy, oz = cam_ref[0], cam_ref[1], cam_ref[2]
@@ -344,134 +453,150 @@ def _kernel(
     focal, aspect = cam_ref[7], cam_ref[8]
     width, height = cam_ref[9], cam_ref[10]
 
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
 
-    # ---- fused ray generation (renderer.wgsl:364-396) ----
+    seed = cam_ref[11].astype(jnp.int32)
+
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
     c_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
     lane = r_ids * 128 + c_ids
-    px = tj * TILE + lane % TILE
-    py = ti * TILE + lane // TILE
 
-    # subpixel offsets: fixed centers (reference parity) or per-pixel PRNG
-    # jitter (the 1-spp progressive-accumulation mode)
-    if use_jitter:
-        seed = cam_ref[11]
-        pltpu.prng_seed(seed.astype(jnp.int32) * 9781 + ti * 7919 + tj * 104729)
+    outs = {"t": t_out, "nx": nx_out, "ny": ny_out, "nz": nz_out, "tri": tri_out,
+            "visits": visits_out}
 
-        def rand01():
-            bits = pltpu.prng_random_bits((SUB, 128))
-            return (bits >> jnp.uint32(8)).astype(f32) * f32(2.0 ** -24)
+    streams = []
+    for si in range(GROUP):
+        for sj in range(GROUP):
+            ti = bi * GROUP + si
+            tj = bj * GROUP + sj
+            # ---- fused ray generation (renderer.wgsl:364-396) ----
+            px = tj * TILE + lane % TILE
+            py = ti * TILE + lane // TILE
+            if use_jitter:
+                jx = _hash01(px, py, seed * 2 + 0)
+                jy = _hash01(px, py, seed * 2 + 1)
+            else:
+                jx = jy = f32(0.5)
+            u = (px.astype(f32) + jx) / width * 2.0 - 1.0
+            v = (py.astype(f32) + jy) / height * 2.0 - 1.0
+            dx = u * aspect
+            dy = v
+            dz = jnp.full((SUB, 128), -focal, f32)
+            inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+            dx, dy, dz = _rotate_quat(qx, qy, qz, qw, dx, dy, dz)
 
-        jx, jy = rand01(), rand01()
-    else:
-        jx = jy = f32(0.5)
-    u = (px.astype(f32) + jx) / width * 2.0 - 1.0
-    v = (py.astype(f32) + jy) / height * 2.0 - 1.0
-    dx = u * aspect
-    dy = v
-    dz = jnp.full((SUB, 128), -focal, f32)
-    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
-    dx, dy, dz = dx * inv_len, dy * inv_len, dz * inv_len
+            def safe_inv(d):
+                return jnp.where(jnp.abs(d) > 1e-8, 1.0 / d, f32(INF))
 
-    # rotate by quaternion (renderer.wgsl:66-72)
-    uvx = qy * dz - qz * dy
-    uvy = qz * dx - qx * dz
-    uvz = qx * dy - qy * dx
-    uuvx = qy * uvz - qz * uvy
-    uuvy = qz * uvx - qx * uvz
-    uuvz = qx * uvy - qy * uvx
-    dx = 2.0 * (qw * uvx + uuvx) + dx
-    dy = 2.0 * (qw * uvy + uuvy) + dy
-    dz = 2.0 * (qw * uvz + uuvz) + dz
+            # tile-center ray direction (scalars) — the ordering axis
+            ucx = ((tj * TILE + TILE * 0.5) / width * 2.0 - 1.0) * aspect
+            vcy = (ti * TILE + TILE * 0.5) / height * 2.0 - 1.0
+            c_inv = jax.lax.rsqrt(ucx * ucx + vcy * vcy + focal * focal)
+            dcx, dcy, dcz = _rotate_quat(
+                qx, qy, qz, qw, ucx * c_inv, vcy * c_inv, -focal * c_inv
+            )
 
-    def safe_inv(d):
-        return jnp.where(jnp.abs(d) > 1e-8, 1.0 / d, f32(INF))
+            def make_rw(si=si, sj=sj):
+                def write(field, val):
+                    outs[field][si, sj] = val
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+                def read(field):
+                    return outs[field][si, sj]
+                return write, read
 
-    # tile-center ray direction (scalars) — the near-first ordering axis
-    ucx = ((tj * TILE + TILE * 0.5) / width * 2.0 - 1.0) * aspect
-    vcy = (ti * TILE + TILE * 0.5) / height * 2.0 - 1.0
-    c_uvx = qy * (-focal) - qz * vcy
-    c_uvy = qz * ucx - qx * (-focal)
-    c_uvz = qx * vcy - qy * ucx
-    c_uuvx = qy * c_uvz - qz * c_uvy
-    c_uuvy = qz * c_uvx - qx * c_uvz
-    c_uuvz = qx * c_uvy - qy * c_uvx
-    dcx = 2.0 * (qw * c_uvx + c_uuvx) + ucx
-    dcy = 2.0 * (qw * c_uvy + c_uuvy) + vcy
-    dcz = 2.0 * (qw * c_uvz + c_uuvz) + (-focal)
+            streams.append(_Stream(
+                dirs=(dx, dy, dz),
+                invs=(safe_inv(dx), safe_inv(dy), safe_inv(dz)),
+                origin=(ox, oy, oz),
+                order_slack=jnp.float32(0.0),   # origin is a point
+                order_d=(dcx, dcy, dcz),
+                order_o=(ox, oy, oz),
+                entry=entry_ref[ti, tj],
+                write=make_rw()[0],
+                read=make_rw()[1],
+            ))
 
-    _traverse_core(
-        qnodes_ref,
-        t_out, nx_out, ny_out, nz_out, tri_out, visits_out,
-        node_scr, stack_n, stack_d, maxb_scr, sems,
-        dx, dy, dz, ix, iy, iz,
-        ox, oy, oz,
-        ox, oy, oz, ox, oy, oz,        # origin AABB degenerates to a point
-        dcx, dcy, dcz, ox, oy, oz,
-        entry_ref[ti, tj],
-    )
+    _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
+                      maxb_scr, state_scr, sems, visits_out)
 
 
 def _raybuf_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM (1,SUB,128)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM (NS,SUB,128)
     qnodes_ref,                                        # HBM (M, 128)
-    t_out, nx_out, ny_out, nz_out, tri_out,           # VMEM (1,SUB,128)
-    node_scr, stack_n, stack_d, maxb_scr, sems,
+    t_out, nx_out, ny_out, nz_out, tri_out,           # VMEM (NS,SUB,128)
+    node_scr, stack_n, stack_d, maxb_scr, state_scr, sems,
 ):
     """Arbitrary-ray-buffer kernel: bounce waves, shadow rays, custom rays.
 
-    Per-tile statistics (origin AABB, mean direction) replace the shared
+    Per-stream statistics (origin AABB, mean direction) replace the shared
     camera origin for the scalar cull/ordering metrics — conservative for
     arbitrary per-lane origins.
     """
     f32 = jnp.float32
-    ox, oy, oz = ox_ref[0], oy_ref[0], oz_ref[0]
-    dx, dy, dz = dx_ref[0], dy_ref[0], dz_ref[0]
+    outs = {"t": t_out, "nx": nx_out, "ny": ny_out, "nz": nz_out, "tri": tri_out,
+            "visits": None}
 
-    def safe_inv(d):
-        return jnp.where(jnp.abs(d) > 1e-8, 1.0 / d, f32(INF))
+    streams = []
+    for s in range(NS):
+        ox, oy, oz = ox_ref[s], oy_ref[s], oz_ref[s]
+        dx, dy, dz = dx_ref[s], dy_ref[s], dz_ref[s]
 
-    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+        def safe_inv(d):
+            return jnp.where(jnp.abs(d) > 1e-8, 1.0 / d, f32(INF))
 
-    clox, cloy, cloz = jnp.min(ox), jnp.min(oy), jnp.min(oz)
-    chix, chiy, chiz = jnp.max(ox), jnp.max(oy), jnp.max(oz)
-    odx, ody, odz = jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)  # mean dir (scaled)
-    oox = (clox + chix) * 0.5
-    ooy = (cloy + chiy) * 0.5
-    ooz = (cloz + chiz) * 0.5
+        clox, cloy, cloz = jnp.min(ox), jnp.min(oy), jnp.min(oz)
+        chix, chiy, chiz = jnp.max(ox), jnp.max(oy), jnp.max(oz)
+        odx, ody, odz = jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)  # mean dir
+        od_inv = jax.lax.rsqrt(odx * odx + ody * ody + odz * odz + f32(1e-30))
+        odx, ody, odz = odx * od_inv, ody * od_inv, odz * od_inv
+        oox = (clox + chix) * 0.5
+        ooy = (cloy + chiy) * 0.5
+        ooz = (cloz + chiz) * 0.5
+        hx, hy, hz = (chix - clox) * 0.5, (chiy - cloy) * 0.5, (chiz - cloz) * 0.5
+        slack = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+        # guard against inf pad-origins poisoning the metrics
+        slack = jnp.where(jnp.isfinite(slack), slack, f32(INF))
 
-    class _Wrap:
-        """Adapt (1,SUB,128) out blocks to the core's [0, 0] indexing."""
+        def make_rw(s=s):
+            def write(field, val):
+                outs[field][s] = val
 
-        def __init__(self, ref):
-            self.ref = ref
+            def read(field):
+                return outs[field][s]
+            return write, read
 
-        def __getitem__(self, _):
-            return self.ref[0]
+        streams.append(_Stream(
+            dirs=(dx, dy, dz),
+            invs=(safe_inv(dx), safe_inv(dy), safe_inv(dz)),
+            origin=(ox, oy, oz),
+            order_slack=slack,
+            order_d=(odx, ody, odz),
+            order_o=(oox, ooy, ooz),
+            entry=jnp.int32(0),
+            write=make_rw()[0],
+            read=make_rw()[1],
+        ))
 
-        def __setitem__(self, _, val):
-            self.ref[0] = val
-
-    _traverse_core(
-        qnodes_ref,
-        _Wrap(t_out), _Wrap(nx_out), _Wrap(ny_out), _Wrap(nz_out), _Wrap(tri_out),
-        None,
-        node_scr, stack_n, stack_d, maxb_scr, sems,
-        dx, dy, dz, ix, iy, iz,
-        ox, oy, oz,
-        clox, cloy, cloz, chix, chiy, chiz,
-        odx, ody, odz, oox, ooy, ooz,
-        jnp.int32(0),
-    )
+    _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
+                      maxb_scr, state_scr, sems)
 
 
 # ---------------------------------------------------------------------------
-# Host wrapper
+# Host wrappers
 # ---------------------------------------------------------------------------
+
+def _scratch_shapes():
+    return [
+        pltpu.SMEM((NS, REC), jnp.float32),
+        pltpu.SMEM((NS, STACK_MAX + 1), jnp.int32),
+        pltpu.SMEM((NS, STACK_MAX + 1), jnp.float32),
+        pltpu.SMEM((NS, 2), jnp.float32),
+        pltpu.SMEM((3, NS), jnp.int32),
+        pltpu.SemaphoreType.DMA((NS,)),
+    ]
+
 
 @partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "interpret", "stats", "jitter"))
 def trace_tiles_pallas(
@@ -490,10 +615,14 @@ def trace_tiles_pallas(
     """Trace all primary rays → (t, nx, ny, nz, tri[, visits]) images of
     (height,width); ``stats=True`` appends a per-tile visit-count plane.
 
-    width/height must be multiples of TILE (the render pipeline pads).
+    Any width/height works — the kernel pads internally to the
+    GROUP·TILE-pixel program granularity and crops the result.
     """
-    assert width % TILE == 0 and height % TILE == 0
-    nty, ntx = height // TILE, width // TILE
+    blk = GROUP * TILE
+    pw = -(-width // blk) * blk
+    ph = -(-height // blk) * blk
+    nty, ntx = ph // TILE, pw // TILE
+    nby, nbx = nty // GROUP, ntx // GROUP
 
     focal = 1.0 / math.tan(0.5 * math.radians(fov_degrees))
     cam = jnp.concatenate(
@@ -508,6 +637,9 @@ def trace_tiles_pallas(
 
     if entries is None:
         entries = jnp.zeros((nty, ntx), jnp.int32)
+    else:
+        ey, ex = entries.shape
+        entries = jnp.pad(entries, ((0, nty - ey), (0, ntx - ex)))
 
     nout = 6 if stats else 5
     out_shape = [
@@ -519,12 +651,13 @@ def trace_tiles_pallas(
         jax.ShapeDtypeStruct((nty, ntx, SUB, 128), jnp.int32),    # visits
     ][:nout]
     out_spec = pl.BlockSpec(
-        (1, 1, SUB, 128), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (GROUP, GROUP, SUB, 128), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
     outs = pl.pallas_call(
         partial(_kernel, jitter),
-        grid=(nty, ntx),
+        grid=(nby, nbx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
             pl.BlockSpec(memory_space=pltpu.SMEM),  # entries (full, tiny)
@@ -532,19 +665,13 @@ def trace_tiles_pallas(
         ],
         out_specs=[out_spec] * nout,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((FRONTIER, REC), jnp.float32),
-            pltpu.SMEM((STACK_MAX,), jnp.int32),
-            pltpu.SMEM((STACK_MAX,), jnp.float32),
-            pltpu.SMEM((2,), jnp.float32),
-            pltpu.SemaphoreType.DMA((FRONTIER,)),
-        ],
+        scratch_shapes=_scratch_shapes(),
         interpret=interpret,
     )(cam, entries, qnodes)
 
     def untile(a):
         img = a.reshape(nty, ntx, TILE, TILE).transpose(0, 2, 1, 3)
-        return img.reshape(height, width)
+        return img.reshape(ph, pw)[:height, :width]
 
     return tuple(untile(a) for a in outs)
 
@@ -559,43 +686,60 @@ def trace_rays_pallas(
     """Closest-hit trace of an arbitrary ray buffer through the supernode
     kernel → (t, nx, ny, nz, tri), each shape (R,).
 
-    Rays are processed in 1024-lane groups; keep them spatially coherent
-    (pixel order for bounce waves) — the block-shared stack bets on it.
+    Rays are processed in NS independent 1024-lane streams per program; keep
+    them spatially coherent (pixel order for bounce waves) — the
+    block-shared stacks bet on it. Pad rays are given far-away origins so
+    their streams drain after a single root visit.
     """
     r = origins.shape[0]
-    pad = (-r) % (SUB * 128)
-    o = jnp.pad(origins, ((0, pad), (0, 0)))
+    grp = NS * SUB * 128
+    pad = (-r) % grp
+    o = jnp.pad(origins, ((0, pad), (0, 0)), constant_values=INF)
     d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
-    nt = o.shape[0] // (SUB * 128)
+    nt = o.shape[0] // grp
 
     def plane(a, c):
-        return a[:, c].reshape(nt, SUB, 128)
+        return a[:, c].reshape(nt, NS, SUB, 128)
 
     in_planes = [plane(o, 0), plane(o, 1), plane(o, 2),
                  plane(d, 0), plane(d, 1), plane(d, 2)]
 
-    spec = pl.BlockSpec((1, SUB, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, NS, SUB, 128), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, SUB, 128), jnp.int32),
+        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.int32),
     ]
 
+    def kern(*args):
+        # strip the leading block axis of size 1 from every ref
+        ins = args[:6]
+        qn = args[6]
+        outs_ = args[7:12]
+        scr = args[12:]
+
+        class _Sq:
+            def __init__(self, ref):
+                self.ref = ref
+
+            def __getitem__(self, idx):
+                return self.ref[(0, *((idx,) if not isinstance(idx, tuple) else idx))]
+
+            def __setitem__(self, idx, val):
+                self.ref[(0, *((idx,) if not isinstance(idx, tuple) else idx))] = val
+
+        _raybuf_kernel(*[_Sq(x) for x in ins], qn, *[_Sq(x) for x in outs_], *scr)
+
     outs = pl.pallas_call(
-        _raybuf_kernel,
+        kern,
         grid=(nt,),
         in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[spec] * 5,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((FRONTIER, REC), jnp.float32),
-            pltpu.SMEM((STACK_MAX,), jnp.int32),
-            pltpu.SMEM((STACK_MAX,), jnp.float32),
-            pltpu.SMEM((2,), jnp.float32),
-            pltpu.SemaphoreType.DMA((FRONTIER,)),
-        ],
+        scratch_shapes=_scratch_shapes(),
         interpret=interpret,
     )(*in_planes, qnodes)
 

@@ -175,19 +175,17 @@ class PathTracer:
         if self._use_pallas:
             from .ops.pallas.entry import compute_tile_entries
 
-            pw = -(-w // TILE) * TILE
-            ph = -(-h // TILE) * TILE
+            # the kernel pads to its program granularity internally and
+            # crops, preserving the true w/h aspect
             entries = compute_tile_entries(
-                self._wide, pos, quat, pw, ph, tile=TILE,
+                self._wide, pos, quat, w, h, tile=TILE,
                 fov_degrees=self.fov_degrees,
             )
             t, nx, ny, nz, tri = trace_tiles_pallas(
-                self._qnodes, pos, quat, pw, ph, self.fov_degrees,
+                self._qnodes, pos, quat, w, h, self.fov_degrees,
                 entries=entries,
             )[:5]
-            t = t[:h, :w]
-            tri = tri[:h, :w]
-            normals = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+            normals = jnp.stack([nx, ny, nz], axis=-1)
             rgb = shade_lambert(normals, tri >= 0)
             return rgb, t, tri
 
@@ -258,14 +256,11 @@ class PathTracer:
         seed = self.frame_count + 1
 
         if self._use_pallas and len(self.triangles_data) > _BRUTE_FORCE_MAX_TRIS:
-            pw = -(-w // TILE) * TILE
-            ph = -(-h // TILE) * TILE
             t, nx, ny, nz, tri = trace_tiles_pallas(
-                self._qnodes, pos, quat, pw, ph, self.fov_degrees,
+                self._qnodes, pos, quat, w, h, self.fov_degrees,
                 jitter=True, jitter_seed=seed,
             )[:5]
-            tri = tri[:h, :w]
-            normals = jnp.stack([nx[:h, :w], ny[:h, :w], nz[:h, :w]], axis=-1)
+            normals = jnp.stack([nx, ny, nz], axis=-1)
             return shade_lambert(normals, tri >= 0)
 
         # host/CPU fallback: jittered rays through the XLA path
