@@ -10,6 +10,7 @@ CXX=${CXX:-g++}
 FLAGS="-std=c++20 -O3 -march=native -flto -Wall"
 
 $CXX $FLAGS -DBVHTOOL_MAIN raytracer_tpu/native/bvh_convert.cpp -o bin/bvh_convert
-$CXX $FLAGS -shared -fPIC raytracer_tpu/native/bvh_convert.cpp -o lib/libbvhtool.so
+$CXX $FLAGS -shared -fPIC raytracer_tpu/native/bvh_convert.cpp \
+    raytracer_tpu/native/sah_build.cpp -o lib/libbvhtool.so
 
 echo "built bin/bvh_convert and lib/libbvhtool.so"

@@ -38,6 +38,14 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint32),
             ]
+            try:
+                lib.bvh_build_sah.restype = ctypes.c_uint32
+                lib.bvh_build_sah.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_uint32,
+                ] + [ctypes.POINTER(ctypes.c_uint32)] * 5
+            except AttributeError:  # stale .so from round 1
+                lib.bvh_build_sah = None
             return lib
     return None
 
@@ -67,6 +75,40 @@ def promote_wide_native(bvh2_buf: np.ndarray) -> tuple[np.ndarray, int, int]:
         _as_u32_ptr(bvh2_buf), _as_u32_ptr(out), ctypes.byref(leaves), ctypes.byref(internals)
     )
     return out, leaves.value, internals.value
+
+
+def build_sah_native(tris: np.ndarray) -> tuple[dict, int]:
+    """Binned-SAH BVH2 build (native/sah_build.cpp) → LBVH2-layout arrays.
+
+    The quality builder the reference lacks ("BVH-only, no SAH",
+    reference README.md:79). Returns ({bounds,left,right,meta,parent}, height).
+    """
+    if _lib is None or getattr(_lib, "bvh_build_sah", None) is None:
+        raise RuntimeError(
+            "libbvhtool.so with bvh_build_sah not built — run raytracer_tpu/native/build.sh"
+        )
+    tris = np.ascontiguousarray(tris, dtype=np.float32).reshape(-1, 9)
+    n = len(tris)
+    m = max(2 * n - 1, 1)
+    bounds = np.zeros((m, 3), dtype=np.uint32)
+    left = np.zeros(m, dtype=np.uint32)
+    right = np.zeros(m, dtype=np.uint32)
+    meta = np.zeros(m, dtype=np.uint32)
+    parent = np.zeros(m, dtype=np.uint32)
+    height = int(
+        _lib.bvh_build_sah(
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_uint32(n),
+            _as_u32_ptr(bounds),
+            _as_u32_ptr(left),
+            _as_u32_ptr(right),
+            _as_u32_ptr(meta),
+            _as_u32_ptr(parent),
+        )
+    )
+    arrays = {"bounds": bounds, "left": left, "right": right, "meta": meta,
+              "parent": parent}
+    return arrays, height
 
 
 def collapse4_native(bvh2_buf: np.ndarray) -> np.ndarray:

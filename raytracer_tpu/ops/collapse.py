@@ -162,17 +162,19 @@ def _fixed_point(body, init, max_iters: int):
     return out
 
 
-@partial(jax.jit, static_argnames=("num_nodes2",))
+@partial(jax.jit, static_argnames=("num_nodes2", "sweeps"))
 def _collapse_impl(
     bounds2: jax.Array,
     left2: jax.Array,
     right2: jax.Array,
     meta2: jax.Array,
     num_nodes2: int,
+    sweeps: int | None = None,
 ) -> BVH4:
     m = num_nodes2
     n_tris = (m + 1) // 2
-    sweeps = _static_height_bound(n_tris)
+    if sweeps is None:
+        sweeps = _static_height_bound(n_tris)
     leaf = (meta2 & jnp.uint32(LEAF_FLAG)) != 0
     inv = jnp.uint32(INVALID)
 
@@ -257,11 +259,16 @@ def _collapse_impl(
     )
 
 
-def collapse_lbvh2_to_bvh4(bvh2: LBVH2) -> BVH4:
+def collapse_lbvh2_to_bvh4(bvh2: LBVH2, sweeps: int | None = None) -> BVH4:
     """Device-side greedy re-emission collapse (PathTracer.js:506-667
-    semantics, bit-exact vs. the host oracle)."""
+    semantics, bit-exact vs. the host oracle).
+
+    ``sweeps`` bounds the fixed-point iteration count (≥ tree height); the
+    default covers LBVH trees — pass the measured height (+ slack) for
+    arbitrarily-shaped trees like the native SAH builder's."""
     return _collapse_impl(
-        bvh2.bounds_u32, bvh2.left, bvh2.right, bvh2.meta, bvh2.num_nodes
+        bvh2.bounds_u32, bvh2.left, bvh2.right, bvh2.meta, bvh2.num_nodes,
+        sweeps=sweeps,
     )
 
 

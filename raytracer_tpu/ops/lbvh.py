@@ -243,6 +243,30 @@ def _build_lbvh2_impl(triangles: jax.Array, num_triangles: int) -> LBVH2:
     return LBVH2(bounds_u32=bounds_u32, left=left, right=right, meta=meta, parent=parent)
 
 
+def build_sah2(triangles) -> tuple[LBVH2, int]:
+    """Host-native binned-SAH BVH2 (quality builder) → device LBVH2 + height.
+
+    Same output contract as :func:`build_lbvh2` (2N−1 rows, root 0,
+    conservative fp16 bounds) but with surface-area-heuristic topology —
+    30%+ fewer traversal visits than the Morton LBVH on the benchmark
+    scenes. Requires lib/libbvhtool.so (raytracer_tpu/native/build.sh).
+    """
+    import numpy as np
+
+    from ..native import bvhtool
+
+    tris_np = np.asarray(triangles, dtype=np.float32)
+    arrays, height = bvhtool.build_sah_native(tris_np)
+    bvh = LBVH2(
+        bounds_u32=jnp.asarray(arrays["bounds"]),
+        left=jnp.asarray(arrays["left"]),
+        right=jnp.asarray(arrays["right"]),
+        meta=jnp.asarray(arrays["meta"]),
+        parent=jnp.asarray(arrays["parent"]),
+    )
+    return bvh, height
+
+
 def build_lbvh2(triangles: jax.Array) -> LBVH2:
     """Build the LBVH2 for a (N,3,3) float32 triangle array, fully on device.
 

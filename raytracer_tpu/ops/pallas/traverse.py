@@ -60,10 +60,10 @@ from ..trace import WideBVH
 
 __all__ = ["make_qnodes", "trace_tiles_pallas", "trace_rays_pallas", "TILE", "REC"]
 
-TILE = 32                 # pixels per tile side; TILE² rays per stream
+TILE = int(os.environ.get("RT_TILE", "32"))  # pixels per tile side; TILE² rays per stream
 _ABLATE = os.environ.get("RT_ABLATE", "")  # perf ablations: "nomt", "noslab"
 SUB = TILE * TILE // 128  # sublane count of the ray lane-tile (TILE²=SUB×128)
-STACK_MAX = 64            # renderer.wgsl:8
+STACK_MAX = int(os.environ.get("RT_STACK", "64"))  # renderer.wgsl:8
 GROUP = 2                 # program owns a GROUP×GROUP block of tiles
 NS = GROUP * GROUP        # independent traversal streams per program
 REC = 128                 # record width (f32 words) — lane-tile aligned
@@ -202,72 +202,10 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
         ox, oy, oz = st.ox, st.oy, st.oz
         (odx, ody, odz), (oox, ooy, ooz) = st.order_d, st.order_o
 
-        leaf_flags = []
+        refcs = [node_scr[s, 24 + k] for k in range(4)]
+        leaf_flags = [(refcs[k] < 0.0) & (refcs[k] > f32(EMPTY_REF)) for k in range(4)]
         for k in range(4):
-            refc = node_scr[s, 24 + k]
-            is_empty = refc <= f32(EMPTY_REF)
-            leaf_flags.append((refc < 0.0) & ~is_empty)
-        any_leaf = leaf_flags[0] | leaf_flags[1] | leaf_flags[2] | leaf_flags[3]
-
-        # --- leaf children: MT straight from the inlined vertices. ONE
-        # scalar branch for the whole visit (pl.when bubbles dominate the
-        # per-visit cost, so per-child masking is vectorized instead),
-        # best-hit state chained through registers, one write per plane. ---
-        @pl.when(any_leaf & ("nomt" not in _ABLATE))
-        def _(s=s):
-            cur = st.read_t()
-            vnx, vny, vnz = st.read("nx"), st.read("ny"), st.read("nz")
-            vtri = st.read("tri")
-            for k in range(4):
-                refc = node_scr[s, 24 + k]
-                b = 32 + 12 * k
-                v0x, v0y, v0z = node_scr[s, b], node_scr[s, b + 1], node_scr[s, b + 2]
-                v1x, v1y, v1z = node_scr[s, b + 3], node_scr[s, b + 4], node_scr[s, b + 5]
-                v2x, v2y, v2z = node_scr[s, b + 6], node_scr[s, b + 7], node_scr[s, b + 8]
-                e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-                e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-
-                px_ = dy * e2z - dz * e2y
-                py_ = dz * e2x - dx * e2z
-                pz_ = dx * e2y - dy * e2x
-                det = e1x * px_ + e1y * py_ + e1z * pz_
-                inv_det = 1.0 / jnp.where(det == 0.0, f32(1.0), det)
-                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-                uu = inv_det * (sx * px_ + sy * py_ + sz * pz_)
-                qcx = sy * e1z - sz * e1y
-                qcy = sz * e1x - sx * e1z
-                qcz = sx * e1y - sy * e1x
-                vv = inv_det * (dx * qcx + dy * qcy + dz * qcz)
-                tt = inv_det * (e2x * qcx + e2y * qcy + e2z * qcz)
-                upd = (
-                    leaf_flags[k]                  # scalar → lane broadcast
-                    & (jnp.abs(det) >= MT_EPS)
-                    & (uu >= 0.0) & (uu <= 1.0)
-                    & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > MT_EPS) & (tt < cur)
-                )
-                gnx = e1y * e2z - e1z * e2y
-                gny = e1z * e2x - e1x * e2z
-                gnz = e1x * e2y - e1y * e2x
-                g_inv = jax.lax.rsqrt(gnx * gnx + gny * gny + gnz * gnz)
-                tri_id = (-refc - 1.0).astype(jnp.int32)
-                cur = jnp.where(upd, tt, cur)
-                vnx = jnp.where(upd, gnx * g_inv, vnx)
-                vny = jnp.where(upd, gny * g_inv, vny)
-                vnz = jnp.where(upd, gnz * g_inv, vnz)
-                vtri = jnp.where(upd, tri_id, vtri)
-            st.write("t", cur)
-            st.write("nx", vnx)
-            st.write("ny", vny)
-            st.write("nz", vnz)
-            st.write("tri", vtri)
-            # shrink the cull bound — only leaf visits can improve it
-            mb = jnp.max(cur)
-            maxb_scr[s, 0] = mb
-            maxb_scr[s, 1] = mb
-
-        for k in range(4):
-            refc = node_scr[s, 24 + k]
+            refc = refcs[k]
             is_internal = refc >= 0.0
 
             # --- internal child: slab test (vector) + scalar metrics ---
@@ -322,10 +260,74 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
             ]
             push_ok = [push_internal[k] & slot_hit[k] for k in range(4)]
 
-        # sorting network: nearest child pushed last so it pops first
+        # --- leaf children: MT straight from the inlined vertices, under ONE
+        # scalar branch gated by the slab test (a visit whose leaf slots all
+        # fail the slab — or are occluded beyond best-t — skips MT entirely:
+        # the box is the triangle's hull, so the slab can only pass a
+        # superset of the MT-accepted lanes). Best-hit state is chained
+        # through registers, one read/write per plane. ---
+        do_mt = [leaf_flags[k] & slot_hit[k] for k in range(4)]
+        any_mt = (do_mt[0] | do_mt[1] | do_mt[2] | do_mt[3]) & ("nomt" not in _ABLATE)
+
+        @pl.when(any_mt)
+        def _(s=s):
+            cur = st.read_t()
+            vnx, vny, vnz = st.read("nx"), st.read("ny"), st.read("nz")
+            vtri = st.read("tri")
+            for k in range(4):
+                refc = refcs[k]
+                b = 32 + 12 * k
+                v0x, v0y, v0z = node_scr[s, b], node_scr[s, b + 1], node_scr[s, b + 2]
+                v1x, v1y, v1z = node_scr[s, b + 3], node_scr[s, b + 4], node_scr[s, b + 5]
+                v2x, v2y, v2z = node_scr[s, b + 6], node_scr[s, b + 7], node_scr[s, b + 8]
+                e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+                e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                inv_det = 1.0 / jnp.where(det == 0.0, f32(1.0), det)
+                sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+                uu = inv_det * (sx * px_ + sy * py_ + sz * pz_)
+                qcx = sy * e1z - sz * e1y
+                qcy = sz * e1x - sx * e1z
+                qcz = sx * e1y - sy * e1x
+                vv = inv_det * (dx * qcx + dy * qcy + dz * qcz)
+                tt = inv_det * (e2x * qcx + e2y * qcy + e2z * qcz)
+                upd = (
+                    do_mt[k]                       # scalar → lane broadcast
+                    & (jnp.abs(det) >= MT_EPS)
+                    & (uu >= 0.0) & (uu <= 1.0)
+                    & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > MT_EPS) & (tt < cur)
+                )
+                gnx = e1y * e2z - e1z * e2y
+                gny = e1z * e2x - e1x * e2z
+                gnz = e1x * e2y - e1y * e2x
+                g_inv = jax.lax.rsqrt(gnx * gnx + gny * gny + gnz * gnz)
+                tri_id = (-refc - 1.0).astype(jnp.int32)
+                cur = jnp.where(upd, tt, cur)
+                vnx = jnp.where(upd, gnx * g_inv, vnx)
+                vny = jnp.where(upd, gny * g_inv, vny)
+                vnz = jnp.where(upd, gnz * g_inv, vnz)
+                vtri = jnp.where(upd, tri_id, vtri)
+            st.write("t", cur)
+            st.write("nx", vnx)
+            st.write("ny", vny)
+            st.write("nz", vnz)
+            st.write("tri", vtri)
+            # shrink the cull bound — only leaf hits can improve it
+            mb = jnp.max(cur)
+            maxb_scr[s, 0] = mb
+            maxb_scr[s, 1] = mb
+
+        # sorting network: children fully sorted, nearest pushed last so it
+        # pops first (a WGSL-style nearest-only partial sort was measured
+        # slower end-to-end: +12% visits for the ~20 ns/visit it saves)
         refs, dists, orders, oks = push_ref, push_dist, push_order, push_ok
 
-        def swap_if(a, b):
+        def swap_if(a, b, full=True):
             da = jnp.where(oks[a], orders[a], f32(-INF))
             db = jnp.where(oks[b], orders[b], f32(-INF))
             pred = da < db
@@ -375,7 +377,8 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
                 process(s)
 
             # branchless pop: culled entries are discarded (one iteration
-            # slot, scalar cost only) instead of skip-looped
+            # slot, scalar cost only — culled pops are rare: the packet
+            # cull bound stays at INF while any lane in the tile misses)
             sp = state_scr[0, s]
             live = sp >= 0
             spc = jnp.maximum(sp, 0)

@@ -67,7 +67,7 @@ class PathTracer:
                  widener: str = "collapse", builder: str = "lbvh") -> None:
         if widener not in ("collapse", "promote", "bvh2"):
             raise ValueError(f"unknown widener {widener!r}")
-        if builder not in ("lbvh", "ploc"):
+        if builder not in ("lbvh", "ploc", "sah"):
             raise ValueError(f"unknown builder {builder!r}")
         self.widener = widener
         self.builder = builder
@@ -103,6 +103,19 @@ class PathTracer:
 
     # -- BVH build --------------------------------------------------------------
 
+    def _widen(self, bvh2):
+        """Apply the configured widener (shared by build_bvh and
+        load_checkpoint — restoring no longer silently switches layout)."""
+        if self.widener == "collapse":
+            sweeps = None
+            if getattr(self, "_bvh2_height", None) is not None:
+                sweeps = self._bvh2_height + 2
+            return collapse_lbvh2_to_bvh4(bvh2, sweeps=sweeps)
+        return {
+            "promote": promote_lbvh2_to_bvh4_wide,
+            "bvh2": bvh2_as_bvh4,
+        }[self.widener](bvh2)
+
     def build_bvh(self, triangles) -> None:
         """Full on-device build with the reference's phase timing report."""
         tris = np.asarray(triangles, dtype=np.float32)
@@ -119,21 +132,21 @@ class PathTracer:
             return
 
         t0 = time.perf_counter()
+        self._bvh2_height = None
         if self.builder == "ploc":
             from .ops.ploc import build_ploc2
 
             self._bvh2 = build_ploc2(self._tris_dev)
+        elif self.builder == "sah":
+            from .ops.lbvh import build_sah2
+
+            self._bvh2, self._bvh2_height = build_sah2(tris)
         else:
             self._bvh2 = build_lbvh2(self._tris_dev)
         jax.block_until_ready(self._bvh2.bounds_u32)
         t1 = time.perf_counter()
 
-        widen = {
-            "collapse": collapse_lbvh2_to_bvh4,
-            "promote": promote_lbvh2_to_bvh4_wide,
-            "bvh2": bvh2_as_bvh4,
-        }[self.widener]
-        self._bvh4 = widen(self._bvh2)
+        self._bvh4 = self._widen(self._bvh2)
         jax.block_until_ready(self._bvh4.bounds_u32)
         t2 = time.perf_counter()
 
@@ -359,6 +372,6 @@ class PathTracer:
             meta=jnp.asarray(data["bvh2_meta"]),
             parent=jnp.asarray(data["bvh2_parent"]),
         )
-        self._bvh4 = collapse_lbvh2_to_bvh4(self._bvh2)
+        self._bvh4 = self._widen(self._bvh2)
         self._wide = make_wide_bvh(self._bvh4)
         self._qnodes = make_qnodes(self._wide, self._tris_dev)

@@ -7,6 +7,8 @@ import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import argparse
+ap = argparse.ArgumentParser(); ap.add_argument("--builder", default="lbvh"); A = ap.parse_args()
 from raytracer_tpu.models.scene import Scene
 from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
 from raytracer_tpu.ops.lbvh import build_lbvh2
@@ -19,8 +21,16 @@ scene = Scene().set_triangles(tris_np)
 scene._normalize_enabled, scene._normalize_mode = True, "cube"
 scene.normalize_mesh()
 tris = jnp.asarray(scene.triangles)
-bvh2 = build_lbvh2(tris)
-wide = make_wide_bvh(collapse_lbvh2_to_bvh4(bvh2))
+import time as _t
+_tb = _t.perf_counter()
+if A.builder == "sah":
+    from raytracer_tpu.ops.lbvh import build_sah2
+    bvh2, hh = build_sah2(np.asarray(scene.triangles))
+    print(f"sah build: {_t.perf_counter()-_tb:.2f}s height {hh}", file=sys.stderr)
+    wide = make_wide_bvh(collapse_lbvh2_to_bvh4(bvh2, sweeps=hh+2))
+else:
+    bvh2 = build_lbvh2(tris)
+    wide = make_wide_bvh(collapse_lbvh2_to_bvh4(bvh2))
 qn = make_qnodes(wide, tris)
 jax.block_until_ready(qn)
 
@@ -28,16 +38,14 @@ W, H = 1920, 1080
 pos = np.array([0.0, 0.0, 2.5], np.float32)
 quat = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
 
-# --- visits accounting (stats run) ---
-outs = trace_tiles_pallas(qn, pos, quat, W, H, stats=True)
-vis = np.asarray(outs[5])  # (H, W) per-pixel = per-tile count replicated
-# one value per tile:
-nty, ntx = 1088 // TILE, 1920 // TILE
-vtile = vis[::TILE, ::TILE]
-# pad rows beyond H were cropped; recompute from padded: rerun with padded H
-outs = trace_tiles_pallas(qn, pos, quat, 1920, 1088, stats=True)
+# --- visits accounting (stats run over the padded grid) ---
+blk = TILE * GROUP
+PW = -(-W // blk) * blk
+PH = -(-H // blk) * blk
+nty, ntx = PH // TILE, PW // TILE
+outs = trace_tiles_pallas(qn, pos, quat, PW, PH, stats=True)
 vis = np.asarray(outs[5])
-vtile = vis[::TILE, ::TILE].astype(np.int64)   # (34, 60)
+vtile = vis[::TILE, ::TILE].astype(np.int64)
 tot = vtile.sum()
 # per-program (2x2 tile block) max
 vb = vtile.reshape(nty//GROUP, GROUP, ntx//GROUP, GROUP).transpose(0,2,1,3).reshape(-1, GROUP*GROUP)
