@@ -56,6 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..camera import subpixel_hash01
 from ..trace import WideBVH
 
 __all__ = ["make_qnodes", "trace_tiles_pallas", "trace_rays_pallas", "TILE", "REC"]
@@ -402,23 +403,6 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
             st.write("visits", jnp.full((SUB, 128), state_scr[2, s], jnp.int32))
 
 
-def _hash01(a, b, c):
-    """Counter-based subpixel jitter in [0,1): an integer finalizer hash of
-    (pixel-x, pixel-y, seed). Backend-independent by construction — the same
-    bits come out of interpret mode, the CPU fallback, and the TPU, which is
-    what makes the 1-spp progressive stream testable in CI."""
-    h = (a * jnp.int32(-1640531535) + b * jnp.int32(-2048144777)
-         + c * jnp.int32(-1028477379)).astype(jnp.uint32)  # 0x9E3779B1 etc.
-    h = h ^ (h >> jnp.uint32(16))
-    h = h * jnp.uint32(0x7FEB352D)
-    h = h ^ (h >> jnp.uint32(15))
-    h = h * jnp.uint32(0x846CA68B)
-    h = h ^ (h >> jnp.uint32(16))
-    # Mosaic can't cast u32→f32 directly; >>8 fits in i32 (< 2^24)
-    h24 = (h >> jnp.uint32(8)).astype(jnp.int32)
-    return h24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
-
-
 def _rotate_quat(qx, qy, qz, qw, dx, dy, dz):
     """Rotate (dx,dy,dz) by quaternion — renderer.wgsl:66-72 semantics.
     Works for scalars and (SUB,128) tiles alike."""
@@ -460,6 +444,8 @@ def _kernel(
     bj = pl.program_id(1)
 
     seed = cam_ref[11].astype(jnp.int32)
+    row_off = cam_ref[12].astype(jnp.int32)
+    col_off = cam_ref[13].astype(jnp.int32)
 
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
     c_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
@@ -474,11 +460,11 @@ def _kernel(
             ti = bi * GROUP + si
             tj = bj * GROUP + sj
             # ---- fused ray generation (renderer.wgsl:364-396) ----
-            px = tj * TILE + lane % TILE
-            py = ti * TILE + lane // TILE
+            px = tj * TILE + lane % TILE + col_off
+            py = ti * TILE + lane // TILE + row_off
             if use_jitter:
-                jx = _hash01(px, py, seed * 2 + 0)
-                jy = _hash01(px, py, seed * 2 + 1)
+                jx = subpixel_hash01(px, py, seed * 2 + 0)
+                jy = subpixel_hash01(px, py, seed * 2 + 1)
             else:
                 jx = jy = f32(0.5)
             u = (px.astype(f32) + jx) / width * 2.0 - 1.0
@@ -494,8 +480,8 @@ def _kernel(
                 return jnp.where(jnp.abs(d) > 1e-8, 1.0 / d, f32(INF))
 
             # tile-center ray direction (scalars) — the ordering axis
-            ucx = ((tj * TILE + TILE * 0.5) / width * 2.0 - 1.0) * aspect
-            vcy = (ti * TILE + TILE * 0.5) / height * 2.0 - 1.0
+            ucx = ((tj * TILE + TILE * 0.5 + col_off) / width * 2.0 - 1.0) * aspect
+            vcy = (ti * TILE + TILE * 0.5 + row_off) / height * 2.0 - 1.0
             c_inv = jax.lax.rsqrt(ucx * ucx + vcy * vcy + focal * focal)
             dcx, dcy, dcz = _rotate_quat(
                 qx, qy, qz, qw, ucx * c_inv, vcy * c_inv, -focal * c_inv
@@ -601,7 +587,7 @@ def _scratch_shapes():
     ]
 
 
-@partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "interpret", "stats", "jitter"))
+@partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "interpret", "stats", "jitter", "raygen_size"))
 def trace_tiles_pallas(
     qnodes: jax.Array,
     cam_pos: jax.Array,
@@ -614,12 +600,20 @@ def trace_tiles_pallas(
     entries: jax.Array | None = None,
     jitter: bool = False,
     jitter_seed=0,
+    raygen_size: tuple[int, int] | None = None,
+    row_offset=0,
+    col_offset=0,
 ):
     """Trace all primary rays → (t, nx, ny, nz, tri[, visits]) images of
     (height,width); ``stats=True`` appends a per-tile visit-count plane.
 
     Any width/height works — the kernel pads internally to the
     GROUP·TILE-pixel program granularity and crops the result.
+
+    ``raygen_size``/``row_offset``/``col_offset`` render a band of a larger
+    virtual frame: ray generation uses the full (W, H) while the grid covers
+    only this call's width×height window at the given pixel offset — the
+    multi-chip tile sharding renders one band per chip this way.
     """
     blk = GROUP * TILE
     pw = -(-width // blk) * blk
@@ -627,14 +621,17 @@ def trace_tiles_pallas(
     nty, ntx = ph // TILE, pw // TILE
     nby, nbx = nty // GROUP, ntx // GROUP
 
+    rg_w, rg_h = raygen_size if raygen_size is not None else (width, height)
     focal = 1.0 / math.tan(0.5 * math.radians(fov_degrees))
     cam = jnp.concatenate(
         [
             jnp.asarray(cam_pos, jnp.float32).reshape(3),
             jnp.asarray(cam_quat, jnp.float32).reshape(4),
-            jnp.array([focal, width / height, width, height], jnp.float32),
+            jnp.array([focal, rg_w / rg_h, rg_w, rg_h], jnp.float32),
             jnp.asarray(jitter_seed, jnp.float32).reshape(1),
-            jnp.zeros((4,), jnp.float32),
+            jnp.asarray(row_offset, jnp.float32).reshape(1),
+            jnp.asarray(col_offset, jnp.float32).reshape(1),
+            jnp.zeros((2,), jnp.float32),
         ]
     )
 

@@ -276,21 +276,25 @@ class PathTracer:
             normals = jnp.stack([nx, ny, nz], axis=-1)
             return shade_lambert(normals, tri >= 0)
 
-        # host/CPU fallback: jittered rays through the XLA path
-        from .render_pt import pt_sample_frame
+        # host/CPU fallback: the SAME hash-jittered primary rays + Lambert
+        # shade as the Pallas path (identical sample positions via
+        # ops.camera.subpixel_hash01), so both backends converge to the same
+        # image (round-1 ADVICE #5)
+        from .ops.camera import generate_rays_jittered
+        from .ops.shade import triangle_normals
+        from .ops.trace import trace_rays, trace_rays_brute
 
-        return pt_sample_frame(
-            self._wide,
-            self._tris_dev,
-            pos,
-            quat,
-            jax.random.key(seed),
-            w,
-            h,
-            bounces=1,
-            fov_degrees=self.fov_degrees,
-            brute=len(self.triangles_data) <= _BRUTE_FORCE_MAX_TRIS,
-        )
+        o, d = generate_rays_jittered(w, h, pos, quat, seed, self.fov_degrees)
+        if len(self.triangles_data) <= _BRUTE_FORCE_MAX_TRIS:
+            t, tri = trace_rays_brute(
+                self._tris_dev, o.reshape(-1, 3), d.reshape(-1, 3)
+            )
+        else:
+            t, tri = trace_rays(
+                self._wide, self._tris_dev, o.reshape(-1, 3), d.reshape(-1, 3)
+            )
+        tri = tri.reshape(h, w)
+        return shade_lambert(triangle_normals(self._tris_dev, tri), tri >= 0)
 
     def present_progressive(self) -> jax.Array:
         """Tonemap the HDR accumulation buffer → display rgba8 (true HDR

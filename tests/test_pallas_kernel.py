@@ -1,0 +1,163 @@
+"""Interpret-mode CI coverage for the flagship Pallas kernels.
+
+Round-1 shipped the primary-ray kernel with TPU-bench-only validation; these
+tests pin it (and the tile-entry pre-pass) on CPU so a kernel regression
+fails tests, not just the TPU bench — the oracle-per-kernel discipline of
+the reference (tests/test.py:149-230).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracer_tpu.models.scene import Scene
+from raytracer_tpu.ops.camera import generate_rays
+from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
+from raytracer_tpu.ops.lbvh import build_lbvh2
+from raytracer_tpu.ops.pallas.entry import compute_tile_entries
+from raytracer_tpu.ops.pallas.traverse import (
+    GROUP,
+    TILE,
+    make_qnodes,
+    trace_rays_pallas,
+    trace_tiles_pallas,
+)
+from raytracer_tpu.ops.trace import LEAF_FLAG, make_wide_bvh, trace_rays_brute
+from raytracer_tpu.utils import procgen
+
+
+def _pipeline(tris_np):
+    scene = Scene().set_triangles(tris_np)
+    scene._normalize_enabled, scene._normalize_mode = True, "cube"
+    scene.normalize_mesh()
+    tris = jnp.asarray(scene.triangles)
+    wide = make_wide_bvh(collapse_lbvh2_to_bvh4(build_lbvh2(tris)))
+    return tris, wide, make_qnodes(wide, tris)
+
+
+CAM_POS = jnp.array([0.15, -0.1, 2.5], jnp.float32)
+CAM_QUAT = jnp.array([0.0, 0.1, 0.0, 0.9949874], jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def sphere():
+    return _pipeline(procgen.make_icosphere(2))
+
+
+def _brute(tris, w, h):
+    o, d = generate_rays(w, h, CAM_POS, CAM_QUAT)
+    t, tri = trace_rays_brute(tris, o.reshape(-1, 3), d.reshape(-1, 3))
+    return np.asarray(t).reshape(h, w), np.asarray(tri).reshape(h, w)
+
+
+@pytest.mark.parametrize("w,h", [(128, 64), (96, 80)])
+def test_tiles_parity_vs_brute(sphere, w, h):
+    """Exact tri-id parity incl. non-multiple-of-block sizes (internal pad)."""
+    tris, wide, qn = sphere
+    t, nx, ny, nz, tri = trace_tiles_pallas(
+        qn, CAM_POS, CAM_QUAT, w, h, interpret=True
+    )
+    bt, btri = _brute(tris, w, h)
+    assert (np.asarray(tri) == btri).all()
+    hit = btri >= 0
+    assert np.allclose(np.asarray(t)[hit], bt[hit], rtol=1e-5)
+    # normals are unit where hit, zero where miss
+    n = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], -1)
+    ln = np.linalg.norm(n, axis=-1)
+    assert np.allclose(ln[hit], 1.0, atol=1e-4)
+    assert np.allclose(ln[~hit], 0.0)
+
+
+def test_tiles_with_entries_identical(sphere):
+    """Per-tile entry points must not change the image, only the work."""
+    tris, wide, qn = sphere
+    w = h = GROUP * TILE
+    entries = compute_tile_entries(wide, CAM_POS, CAM_QUAT, w, h, tile=TILE)
+    a = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True)
+    b = trace_tiles_pallas(
+        qn, CAM_POS, CAM_QUAT, w, h, interpret=True, entries=entries
+    )
+    for pa, pb in zip(a, b):
+        assert (np.asarray(pa) == np.asarray(pb)).all()
+
+
+def test_tiles_stats_plane(sphere):
+    tris, wide, qn = sphere
+    w = h = GROUP * TILE
+    out = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True, stats=True)
+    assert len(out) == 6
+    vis = np.asarray(out[5])
+    assert (vis > 0).all()
+    # the plane is per-tile constant
+    assert (vis[:TILE, :TILE] == vis[0, 0]).all()
+
+
+def test_jitter_deterministic_and_seeded(sphere):
+    tris, wide, qn = sphere
+    w = h = GROUP * TILE
+    a = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True,
+                           jitter=True, jitter_seed=3)
+    b = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True,
+                           jitter=True, jitter_seed=3)
+    c = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True,
+                           jitter=True, jitter_seed=4)
+    centered = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True)
+    assert (np.asarray(a[0]) == np.asarray(b[0])).all()
+    assert not (np.asarray(a[0]) == np.asarray(c[0])).all()
+    assert not (np.asarray(a[0]) == np.asarray(centered[0])).all()
+
+
+def test_raybuf_parity_and_padding(sphere):
+    """Arbitrary-ray kernel: exact parity on a ray count that is not a
+    multiple of the program granularity (pad rays must drain instantly and
+    not corrupt real lanes)."""
+    tris, wide, qn = sphere
+    o, d = generate_rays(64, 48, CAM_POS, CAM_QUAT)
+    o = o.reshape(-1, 3)[:2500]
+    d = d.reshape(-1, 3)[:2500]
+    t, nx, ny, nz, tri = trace_rays_pallas(qn, o, d, interpret=True)
+    bt, btri = trace_rays_brute(tris, o, d)
+    assert (np.asarray(tri) == np.asarray(btri)).all()
+
+
+def test_golden_image_pallas():
+    """Pin the Pallas primary path's image signature (verdict r1 #9) — the
+    analog of the XLA anchor in test_gltf_extras.py."""
+    tris, wide, qn = _pipeline(procgen.make_icosphere(2))
+    t, nx, ny, nz, tri = trace_tiles_pallas(
+        qn,
+        jnp.array([0.1, -0.05, 3.2], jnp.float32),
+        jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        64, 64,
+        interpret=True,
+    )
+    tri = np.asarray(tri)
+    sig = {
+        "hits": int((tri >= 0).sum()),
+        "tri_sum": int(tri[tri >= 0].astype(np.int64).sum()),
+        "t_center": round(float(np.asarray(t)[32, 32]), 5),
+    }
+    pinned = {"hits": 695, "tri_sum": 108566, "t_center": 2.22341}
+    assert sig == pinned, f"golden drift: {sig}"
+
+
+def test_entry_conservative_property():
+    """compute_tile_entries conservativeness (verdict r1 weak #4): for random
+    scenes and cameras, entry-seeded traversal must find exactly the hits of
+    root-seeded traversal."""
+    rng = np.random.RandomState(5)
+    for trial in range(3):
+        tris_np = (rng.randn(257, 3, 3) * 0.4).astype(np.float32)
+        tris = jnp.asarray(tris_np)
+        wide = make_wide_bvh(collapse_lbvh2_to_bvh4(build_lbvh2(tris)))
+        qn = make_qnodes(wide, tris)
+        pos = jnp.asarray(rng.randn(3).astype(np.float32) * 2.0)
+        q = rng.randn(4).astype(np.float32)
+        q /= np.linalg.norm(q)
+        quat = jnp.asarray(q)
+        w = h = GROUP * TILE
+        entries = compute_tile_entries(wide, pos, quat, w, h, tile=TILE)
+        a = trace_tiles_pallas(qn, pos, quat, w, h, interpret=True)
+        b = trace_tiles_pallas(qn, pos, quat, w, h, interpret=True, entries=entries)
+        assert (np.asarray(a[4]) == np.asarray(b[4])).all(), f"trial {trial}"
