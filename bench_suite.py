@@ -190,7 +190,7 @@ def config4(frames):
     def render_frame(wide_, tris_, seed):
         sfr = pt_sample_frame(
             wide_, tris_, pos, quat, jax.random.key(seed), w, h,
-            bounces=bounces, qnodes=qn,
+            bounces=bounces, qnodes=qn, compact=qn is not None,
         )
         return jnp.sum(sfr)
 

@@ -139,7 +139,7 @@ class _Stream:
     """
 
     def __init__(self, *, dirs, invs, origin, order_slack, order_d,
-                 order_o, entry, write, read):
+                 order_o, entry, write, read, any_hit=False):
         self.dx, self.dy, self.dz = dirs
         self.ix, self.iy, self.iz = invs
         self.ox, self.oy, self.oz = origin       # scalars or (SUB,128)
@@ -149,6 +149,7 @@ class _Stream:
         self.entry = entry                       # scalar entry node index
         self.write = write                       # write(field, value)
         self.read = read                         # read(field) -> tile
+        self.any_hit = any_hit                   # static: occlusion-only mode
 
     def read_t(self):
         return self.read("t")
@@ -308,7 +309,15 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
                 gnz = e1x * e2y - e1y * e2x
                 g_inv = jax.lax.rsqrt(gnx * gnx + gny * gny + gnz * gnz)
                 tri_id = (-refc - 1.0).astype(jnp.int32)
-                cur = jnp.where(upd, tt, cur)
+                if st.any_hit:
+                    # occlusion query: a hit lane's best-t drops to 0, which
+                    # fails every later slab test (tmin ≥ 0) and MT accept
+                    # (tt > eps) for that lane, and drives maxb to 0 once all
+                    # lanes hit — the stack then drains through the pop cull.
+                    # t is a hit FLAG (0 = occluded), not a distance.
+                    cur = jnp.where(upd, f32(0.0), cur)
+                else:
+                    cur = jnp.where(upd, tt, cur)
                 vnx = jnp.where(upd, gnx * g_inv, vnx)
                 vny = jnp.where(upd, gny * g_inv, vny)
                 vnz = jnp.where(upd, gnz * g_inv, vnz)
@@ -512,6 +521,7 @@ def _kernel(
 
 
 def _raybuf_kernel(
+    any_hit,                                           # static python bool
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM (NS,SUB,128)
     qnodes_ref,                                        # HBM (M, 128)
     t_out, nx_out, ny_out, nz_out, tri_out,           # VMEM (NS,SUB,128)
@@ -566,6 +576,7 @@ def _raybuf_kernel(
             entry=jnp.int32(0),
             write=make_rw()[0],
             read=make_rw()[1],
+            any_hit=any_hit,
         ))
 
     _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
@@ -676,12 +687,13 @@ def trace_tiles_pallas(
     return tuple(untile(a) for a in outs)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "any_hit"))
 def trace_rays_pallas(
     qnodes: jax.Array,
     origins: jax.Array,
     dirs: jax.Array,
     interpret: bool = False,
+    any_hit: bool = False,
 ):
     """Closest-hit trace of an arbitrary ray buffer through the supernode
     kernel → (t, nx, ny, nz, tri), each shape (R,).
@@ -690,6 +702,11 @@ def trace_rays_pallas(
     them spatially coherent (pixel order for bounce waves) — the
     block-shared stacks bet on it. Pad rays are given far-away origins so
     their streams drain after a single root visit.
+
+    ``any_hit=True`` turns the trace into an occlusion query (NEE shadow
+    rays): lanes stop at their first accepted intersection and whole
+    streams terminate early once every lane is occluded. ``tri >= 0`` (or
+    ``t == 0``) means occluded; ``t`` is NOT a distance in this mode.
     """
     r = origins.shape[0]
     grp = NS * SUB * 128
@@ -731,7 +748,7 @@ def trace_rays_pallas(
             def __setitem__(self, idx, val):
                 self.ref[(0, *((idx,) if not isinstance(idx, tuple) else idx))] = val
 
-        _raybuf_kernel(*[_Sq(x) for x in ins], qn, *[_Sq(x) for x in outs_], *scr)
+        _raybuf_kernel(any_hit, *[_Sq(x) for x in ins], qn, *[_Sq(x) for x in outs_], *scr)
 
     outs = pl.pallas_call(
         kern,

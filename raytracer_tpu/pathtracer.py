@@ -244,6 +244,7 @@ class PathTracer:
             return self._accum
 
         key = jax.random.key(self.frame_count)
+        use_qn = self._use_pallas and len(self.triangles_data) > _BRUTE_FORCE_MAX_TRIS
         sample = pt_sample_frame(
             self._wide,
             self._tris_dev,
@@ -255,7 +256,8 @@ class PathTracer:
             bounces=bounces,
             fov_degrees=self.fov_degrees,
             brute=len(self.triangles_data) <= _BRUTE_FORCE_MAX_TRIS,
-            qnodes=self._qnodes if self._use_pallas else None,
+            qnodes=self._qnodes if use_qn else None,
+            compact=use_qn and bounces >= 2,
         )
         self._accum = accumulate(self._accum, sample, jnp.int32(self.frame_count))
         self.frame_count += 1

@@ -80,6 +80,22 @@ def _normals_for(tris: jax.Array, tri_idx: jax.Array, d: jax.Array) -> jax.Array
     return n * jnp.where(flip == 0.0, 1.0, flip)
 
 
+def _occluded(wide, qnodes, tris, o, d, brute: bool):
+    """NEE shadow query: True where the ray hits anything. Uses the Pallas
+    any-hit mode (first accepted hit terminates the lane; streams drain
+    early once fully occluded — verdict r1 #5) when records are supplied."""
+    if qnodes is not None and not brute:
+        from .ops.pallas.traverse import trace_rays_pallas
+
+        _, _, _, _, tri = trace_rays_pallas(qnodes, o, d, any_hit=True)
+        return tri >= 0
+    if brute:
+        _, tri = trace_rays_brute(tris, o, d)
+    else:
+        _, tri = trace_rays(wide, tris, o, d)
+    return tri >= 0
+
+
 def _trace(wide, qnodes, tris, o, d, brute: bool):
     """One wave: closest hit + ray-facing normals.
 
@@ -103,7 +119,7 @@ def _trace(wide, qnodes, tris, o, d, brute: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "bounces", "fov_degrees", "brute"),
+    static_argnames=("width", "height", "bounces", "fov_degrees", "brute", "compact"),
 )
 def pt_sample_frame(
     wide: WideBVH,
@@ -117,8 +133,16 @@ def pt_sample_frame(
     fov_degrees: float = 70.0,
     brute: bool = False,
     qnodes: jax.Array | None = None,
+    compact: bool = False,
 ):
     """One progressive sample: jittered primary rays + path-traced bounces.
+
+    ``compact=True`` re-sorts surviving rays between bounce waves by
+    (alive, direction octant, origin Morton code) so the traversal kernel's
+    1024-lane streams stay spatially coherent after the first bounce
+    scrambles them (SURVEY.md §5.7's wavefront compaction). Costs one
+    argsort + gathers per wave — a win when the scene makes incoherent
+    waves expensive; measured per-config in PERF.md.
 
     Returns linear radiance (H, W, 3) float32.
     """
@@ -149,6 +173,7 @@ def pt_sample_frame(
     radiance = jnp.zeros((r, 3), jnp.float32)
     throughput = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
+    pix = jnp.arange(r, dtype=jnp.int32)   # ray → pixel (identity until compacted)
 
     for b in range(bounces):
         t, tri, n = _trace(wide, qnodes, tris, o, d, brute)
@@ -163,9 +188,9 @@ def pt_sample_frame(
 
         p = o + d * t[:, None] + n * _EPS_OFFSET
 
-        # next-event estimation: shadow ray toward the sun
-        _, stri, _ = _trace(wide, qnodes, tris, p, jnp.broadcast_to(sun, p.shape), brute)
-        lit = stri < 0
+        # next-event estimation: any-hit shadow ray toward the sun
+        occ = _occluded(wide, qnodes, tris, p, jnp.broadcast_to(sun, p.shape), brute)
+        lit = ~occ
         ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
         direct = base[None, :] * (ndotl * lit)[:, None]
         radiance = radiance + jnp.where(hit[:, None], throughput * direct, 0.0)
@@ -179,8 +204,31 @@ def pt_sample_frame(
         d = jnp.where(hit[:, None], new_d, d)
         alive = hit
 
+        if compact and b < bounces - 1:
+            from .ops.morton import morton3d
+
+            # dead rays sink to the end; live rays cluster by direction
+            # octant then 24-bit origin Morton (scene is normalized ≈[-1,1])
+            q = jnp.clip((o + 2.0) * (1023.0 / 4.0), 0.0, 1023.0).astype(jnp.uint32)
+            m = morton3d(q[:, 0], q[:, 1], q[:, 2])
+            octant = (
+                (d[:, 0] < 0).astype(jnp.uint32) * 4
+                + (d[:, 1] < 0).astype(jnp.uint32) * 2
+                + (d[:, 2] < 0).astype(jnp.uint32)
+            )
+            key = (
+                (~alive).astype(jnp.uint32) << jnp.uint32(31)
+                | (octant << jnp.uint32(28))
+                | (m >> jnp.uint32(2))
+            )
+            perm = jnp.argsort(key)
+            o, d = o[perm], d[perm]
+            radiance, throughput = radiance[perm], throughput[perm]
+            alive, pix = alive[perm], pix[perm]
+
     # paths still alive after the last bounce collect the ambient sky
     radiance = radiance + jnp.where(alive[:, None], throughput * jnp.float32(_SKY), 0.0)
+    radiance = jnp.zeros((r, 3), jnp.float32).at[pix].set(radiance)
     return radiance.reshape(height, width, 3)
 
 
