@@ -94,6 +94,13 @@ def _build_ploc_impl(triangles: jax.Array, num_triangles: int, radius: int) -> L
         nn_of_nn = nn[jnp.clip(nn, 0, n - 1)]
         mutual = active & (nn_of_nn == idx) & (idx < nn) & (nn < c)
 
+        # liveness guard (ADVICE r1 #2): exact surface-area ties can leave a
+        # round with zero mutual nearest-neighbor pairs — force-merge the
+        # first two clusters so the loop always makes progress
+        stuck = ~jnp.any(mutual) & (c > 1)
+        mutual = mutual | (stuck & (idx == 0))
+        nn = jnp.where(stuck & (idx == 0), 1, nn)
+
         # --- assign internal ids downward so the final merge lands at 0 ---
         k = jnp.sum(mutual)
         rank = jnp.cumsum(mutual.astype(jnp.int32)) - mutual.astype(jnp.int32)

@@ -134,6 +134,10 @@ def traverse_bvh4_scalar(bounds4, children4, meta4, tris, o, d, verbose=False):
 
     Same child-ordering semantics as ops.trace (near-first, leaf children
     intersected at the parent). Returns (t, tri, stats dict).
+
+    ``verbose=True`` narrates every pop / child accept / reject / MT result
+    step by step — the debugging surface of the reference's oracle
+    (tests/test.py:149-230), which prints each traversal decision.
     """
     mn, mx = unpack_bounds_u32(bounds4)
     with np.errstate(divide="ignore"):
@@ -160,19 +164,29 @@ def traverse_bvh4_scalar(bounds4, children4, meta4, tris, o, d, verbose=False):
     while stack:
         node, dist = stack.pop()
         if dist >= best_t:
+            if verbose:
+                print(f"POP  node {node:>7} dist {dist:.5f} >= best "
+                      f"{best_t:.5f} -> PRUNED")
             continue
         visits += 1
         if verbose:
-            print(f"visit node {node} dist {dist:.5f} best {best_t:.5f}")
+            print(f"POP  node {node:>7} dist {dist:.5f} best {best_t:.5f} "
+                  f"stack {len(stack)}")
         kids = []
         for k in range(4):
             c = int(children4[node, k])
             if c == INVALID or c >= len(meta4):
+                if verbose and c != INVALID:
+                    print(f"  child[{k}] {c:>7} OUT-OF-RANGE -> reject")
                 continue
             if np.any(mn[c] > mx[c]):
+                if verbose:
+                    print(f"  child[{k}] {c:>7} degenerate box -> reject")
                 continue
             ok, tmin = slab(mn[c], mx[c], best_t)
             if not ok:
+                if verbose:
+                    print(f"  child[{k}] {c:>7} slab MISS (tmin {tmin:.5f})")
                 continue
             cmeta = int(meta4[c])
             if cmeta & LEAF_FLAG:
@@ -182,13 +196,24 @@ def traverse_bvh4_scalar(bounds4, children4, meta4, tris, o, d, verbose=False):
                     v = tris[ti]
                     t, okm = moller_trumbore(o, d, v[0], v[1], v[2])
                     if okm and t < best_t:
+                        if verbose:
+                            print(f"  child[{k}] {c:>7} LEAF tri {ti} "
+                                  f"HIT t {t:.6f} (new best)")
                         best_t, best_tri = float(t), ti
+                    elif verbose:
+                        why = f"t {t:.6f} >= best" if okm else "MT reject"
+                        print(f"  child[{k}] {c:>7} LEAF tri {ti} {why}")
             else:
+                if verbose:
+                    print(f"  child[{k}] {c:>7} slab HIT tmin {tmin:.5f} "
+                          "-> queue")
                 kids.append((tmin, c))
         kids.sort(key=lambda x: x[0], reverse=True)  # push far→near
         for tmin, c in kids:
             if len(stack) < 64:
                 stack.append((c, tmin))
+            elif verbose:
+                print(f"  PUSH node {c:>7} DROPPED (stack full)")
     return (
         np.float32(best_t),
         best_tri,

@@ -23,7 +23,9 @@ PORT = 3000                            # api.js:44
 ALLOWED_ORIGIN = "http://localhost:5173"  # api.js:9-13
 DEFAULT_NAME = "BVH2.bin"
 
-_NAME_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+# at least one alphanumeric required: bare-dot names like ".." stay inside
+# data/ (no separators) but crash write_bytes on a directory (ADVICE r1 #3)
+_NAME_RE = re.compile(r"^(?=.*[A-Za-z0-9])[A-Za-z0-9._-]+$")
 
 
 class _Handler(BaseHTTPRequestHandler):

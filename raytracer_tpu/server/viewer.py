@@ -1,0 +1,173 @@
+"""Live viewer server — the interactive loop the reference runs in-browser.
+
+The reference wires pointer-lock mouse + WASD straight into its rAF render
+loop (src/main.js:54-76, src/libs/controls/input-handler.js:58-97). The
+TPU renderer is headless, so the equivalent is a tiny stdlib HTTP server:
+
+* ``GET  /``                → the live shell (public/live.html): a canvas-less
+  <img> that polls the latest frame, plus pointer-lock mouse/keyboard capture
+  forwarded as JSON input events.
+* ``GET  /api/frame.png``   → the most recent rendered frame (in-memory PNG).
+* ``POST /api/input``       → {keys:[...], released:[...], dx, dy, fly} —
+  applied to the FPSCamera exactly like the reference's DOM handlers.
+* ``GET  /api/stats``       → {frame, fps, width, height} for the FPS badge
+  (the reference's 1 Hz DOM counter, src/main.js:64-68).
+
+The render loop runs in a background thread: apply queued input → camera
+update(dt) → PathTracer.render() → PNG. A human can fly the scene from a
+browser against the TPU renderer; tests drive the same endpoints headlessly.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import urlparse
+
+import numpy as np
+
+from ..models.camera import FPSCamera
+from ..utils.image import encode_png
+
+__all__ = ["ViewerState", "make_viewer_server", "run_viewer"]
+
+_PUBLIC = Path(__file__).resolve().parents[2] / "public"
+VIEWER_PORT = 3000
+
+
+class ViewerState:
+    """Shared state between the HTTP handlers and the render thread."""
+
+    def __init__(self, tracer, camera: FPSCamera | None = None):
+        self.tracer = tracer
+        self.camera = camera or FPSCamera(position=tracer.camera_position)
+        self.lock = threading.Lock()
+        self.frame_png: bytes = encode_png(
+            np.zeros((tracer.height, tracer.width, 3), np.uint8)
+        )
+        self.frame_count = 0
+        self.fps = 0.0
+        self._pending_mouse = [0.0, 0.0]
+        self._stop = threading.Event()
+
+    # -- input ------------------------------------------------------------
+
+    def apply_input(self, msg: dict) -> None:
+        with self.lock:
+            for code in msg.get("keys", []):
+                self.camera.press(str(code))
+            for code in msg.get("released", []):
+                self.camera.release(str(code))
+            self._pending_mouse[0] += float(msg.get("dx", 0.0))
+            self._pending_mouse[1] += float(msg.get("dy", 0.0))
+            if "fly" in msg:
+                self.camera.set_fly(bool(msg["fly"]))
+
+    # -- render loop --------------------------------------------------------
+
+    def step(self, dt: float) -> None:
+        """One frame: drain input, move the camera, render, encode."""
+        with self.lock:
+            dx, dy = self._pending_mouse
+            self._pending_mouse[0] = self._pending_mouse[1] = 0.0
+        if dx or dy:
+            self.camera.move_mouse(dx, dy)
+        self.camera.update(dt)
+        p = self.camera.position
+        q = self.camera.rotation
+        self.tracer.set_camera_position(float(p[0]), float(p[1]), float(p[2]))
+        self.tracer.set_camera_quaternion(
+            float(q[0]), float(q[1]), float(q[2]), float(q[3])
+        )
+        img = np.asarray(self.tracer.render())
+        png = encode_png(img[..., :3], level=1)   # speed > size for streaming
+        with self.lock:
+            self.frame_png = png
+            self.frame_count += 1
+
+    def render_loop(self) -> None:
+        last = time.perf_counter()
+        ema = None
+        while not self._stop.is_set():
+            now = time.perf_counter()
+            dt = min(now - last, 0.1)
+            last = now
+            self.step(dt)
+            took = time.perf_counter() - now
+            ema = took if ema is None else 0.9 * ema + 0.1 * took
+            self.fps = 1.0 / max(ema, 1e-6)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+def make_viewer_server(state: ViewerState, port: int = VIEWER_PORT,
+                       quiet: bool = True) -> ThreadingHTTPServer:
+    class _Handler(BaseHTTPRequestHandler):
+        def _send(self, code, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802
+            path = urlparse(self.path).path
+            if path in ("/", "/index.html"):
+                shell = _PUBLIC / "live.html"
+                self._send(200, shell.read_bytes(), "text/html")
+            elif path == "/api/frame.png":
+                with state.lock:
+                    png = state.frame_png
+                self._send(200, png, "image/png")
+            elif path == "/api/stats":
+                body = json.dumps({
+                    "frame": state.frame_count,
+                    "fps": round(state.fps, 2),
+                    "width": state.tracer.width,
+                    "height": state.tracer.height,
+                }).encode()
+                self._send(200, body, "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self) -> None:  # noqa: N802
+            path = urlparse(self.path).path
+            if path != "/api/input":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                msg = json.loads(self.rfile.read(n) or b"{}")
+                state.apply_input(msg)
+                self._send(200, b'{"ok":true}', "application/json")
+            except (ValueError, KeyError) as e:
+                self._send(400, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+
+        def log_message(self, fmt, *args):  # noqa: A003
+            if not quiet:
+                super().log_message(fmt, *args)
+
+    return ThreadingHTTPServer(("0.0.0.0", port), _Handler)
+
+
+def run_viewer(tracer, camera: FPSCamera | None = None,
+               port: int = VIEWER_PORT) -> None:
+    """Blocking: start the render thread + HTTP server (apps/viewer.py)."""
+    state = ViewerState(tracer, camera)
+    thread = threading.Thread(target=state.render_loop, daemon=True)
+    thread.start()
+    srv = make_viewer_server(state, port, quiet=False)
+    print(f"[viewer] http://localhost:{port}/  ({tracer.width}x{tracer.height})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        state.stop()
+        srv.shutdown()

@@ -12,11 +12,12 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["write_png", "write_ppm", "read_ppm"]
+__all__ = ["encode_png", "write_png", "write_ppm", "read_ppm"]
 
 
-def write_png(path: str | Path, img: np.ndarray) -> None:
-    """Write (H,W,3|4) uint8 (or (H,W) grayscale) as a PNG."""
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """Encode (H,W,3|4) uint8 (or (H,W) grayscale) as PNG bytes in memory
+    (the live viewer streams these without touching disk)."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("write_png expects uint8")
@@ -36,13 +37,17 @@ def write_png(path: str | Path, img: np.ndarray) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
     )
-    Path(path).write_bytes(png)
+
+
+def write_png(path: str | Path, img: np.ndarray) -> None:
+    """Write (H,W,3|4) uint8 (or (H,W) grayscale) as a PNG."""
+    Path(path).write_bytes(encode_png(img))
 
 
 def write_ppm(path: str | Path, img: np.ndarray) -> None:
