@@ -1,0 +1,127 @@
+"""Packed-leaf (multi-triangle) LBVH pipeline — the round-2 visit-count lever.
+
+The reference's BVH4 holds exactly one triangle per leaf
+(PathTracer.js:578-588), which the parity pipeline reproduces. For the
+Pallas packet kernel that choice multiplies the per-visit scalar floor by
+the full leaf-level node count: a 1024-ray tile visits every node its
+frustum overlaps, so with 871k single-triangle leaves the dragon frame costs
+~255K record visits (PERF.md round-2 cost model).
+
+This module builds the same tree shape over *clusters* of K consecutive
+Morton-sorted triangles instead: the leaf level shrinks K×, the total node
+count ~K×, and each leaf visit Möller–Trumbores its K inlined triangles —
+vector work that hides under the other streams' DMAs, replacing K−1 whole
+record visits' worth of scalar bookkeeping (pop, slab, sort, push, fetch).
+
+Pipeline (fully on device, one jitted program):
+  morton sort (exact reference bit semantics, ops/morton.py)
+  → group K consecutive sorted triangles per cluster
+  → cluster AABBs (union of member boxes, conservative fp16 packing)
+  → Karras connectivity over the clusters' leading Morton codes
+  → fixed-point bound sweeps (same machinery as ops/lbvh.py)
+  → LBVH2 whose leaves reference CLUSTER indices
+  → the standard BVH4 collapse / make_wide_bvh consume it unchanged.
+
+The triangle array is returned in sorted order (cluster members contiguous)
+together with the original-index permutation; make_qnodes inlines both the
+sorted vertices and the original ids into the supernode records, so the
+kernel still reports reference triangle indices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import fp16_jax as f16
+from .lbvh import (
+    INVALID,
+    LEAF_FLAG,
+    LBVH2,
+    _bounds_fixed_point,
+    _karras_connectivity,
+    _static_height_bound,
+    _tri_bounds,
+)
+from .morton import build_morton_and_sort
+
+__all__ = ["ClusteredScene", "build_lbvh2_clustered"]
+
+
+class ClusteredScene(NamedTuple):
+    """A packed-leaf LBVH2 plus the cluster-ordered geometry it indexes."""
+
+    bvh2: LBVH2            # leaves carry LEAF_FLAG|cluster_index
+    tris_sorted: jax.Array  # (N,3,3) f32 — Morton order, cluster members contiguous
+    tri_order: jax.Array    # (N,) uint32 — original index per sorted position
+    leaf_size: int          # K — max triangles per cluster (static)
+
+
+@partial(jax.jit, static_argnames=("num_triangles", "leaf_size"))
+def _build_clustered_impl(
+    triangles: jax.Array, num_triangles: int, leaf_size: int
+) -> ClusteredScene:
+    n = num_triangles
+    k = leaf_size
+    c = -(-n // k)                     # number of clusters
+    num_internal = c - 1
+    num_nodes = 2 * c - 1
+
+    codes, tri_order = build_morton_and_sort(triangles)
+    tris_sorted = triangles[tri_order.astype(jnp.int32)]
+
+    # cluster bounds: union over the ≤K member triangle boxes
+    tmn, tmx = _tri_bounds(tris_sorted)
+    pad = c * k - n
+    pmn = jnp.pad(tmn, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    pmx = jnp.pad(tmx, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    cl_mn = jnp.min(pmn.reshape(c, k, 3), axis=1)
+    cl_mx = jnp.max(pmx.reshape(c, k, 3), axis=1)
+    leaf_bounds = f16.pack_bounds_conservative(cl_mn, cl_mx)
+
+    # Karras over the clusters' leading codes (sorted, ties index-broken)
+    cl_codes = codes[:: k]             # code of each cluster's first member
+    leaf_meta = jnp.uint32(LEAF_FLAG) | jnp.arange(c, dtype=jnp.uint32)
+
+    bounds_u32 = jnp.zeros((num_nodes, 3), dtype=jnp.uint32)
+    bounds_u32 = bounds_u32.at[num_internal:].set(leaf_bounds)
+    meta = jnp.zeros((num_nodes,), dtype=jnp.uint32)
+    meta = meta.at[num_internal:].set(leaf_meta)
+
+    if c == 1:
+        zeros = jnp.zeros((1,), dtype=jnp.uint32)
+        bvh2 = LBVH2(
+            bounds_u32=bounds_u32, left=zeros, right=zeros, meta=meta,
+            parent=jnp.full((1,), jnp.uint32(INVALID)),
+        )
+        return ClusteredScene(bvh2, tris_sorted, tri_order, k)
+
+    ileft, iright, parent = _karras_connectivity(cl_codes, c)
+    left = jnp.zeros((num_nodes,), dtype=jnp.uint32).at[:num_internal].set(ileft)
+    right = jnp.zeros((num_nodes,), dtype=jnp.uint32).at[:num_internal].set(iright)
+    bounds_u32 = _bounds_fixed_point(
+        bounds_u32, left, right, num_internal, _static_height_bound(c)
+    )
+    bvh2 = LBVH2(bounds_u32=bounds_u32, left=left, right=right, meta=meta,
+                 parent=parent)
+    return ClusteredScene(bvh2, tris_sorted, tri_order, k)
+
+
+def build_lbvh2_clustered(triangles: jax.Array, leaf_size: int = 4) -> ClusteredScene:
+    """Packed-leaf LBVH2 over (N,3,3) triangles, K = ``leaf_size`` tris/leaf.
+
+    The returned BVH2's leaf metas hold CLUSTER indices; cluster ``c`` owns
+    sorted triangles [cK, min(N, (c+1)K)). Feed the result through
+    collapse_lbvh2_to_bvh4 + make_wide_bvh, then
+    ``make_qnodes(wide, scene.tris_sorted, tri_ids=scene.tri_order,
+    leaf_size=K)`` for the Pallas kernel.
+    """
+    n = int(triangles.shape[0])
+    if n < 1:
+        raise ValueError("build_lbvh2_clustered requires at least one triangle")
+    if leaf_size < 1:
+        raise ValueError("leaf_size must be >= 1")
+    return _build_clustered_impl(triangles, n, leaf_size)

@@ -71,7 +71,8 @@ def _shade_rows(wide: WideBVH, tris, o_rows, d_rows, chunk):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "fov_degrees", "mesh", "chunk", "interpret"),
+    static_argnames=("width", "height", "fov_degrees", "mesh", "chunk",
+                     "interpret", "leaf_k"),
 )
 def render_tiles_sharded(
     wide: WideBVH,
@@ -85,6 +86,7 @@ def render_tiles_sharded(
     chunk: int = 2048,
     qnodes: jax.Array | None = None,
     interpret: bool = False,
+    leaf_k: int = 1,
 ):
     """Full frame with pixel rows sharded across the mesh's first axis.
 
@@ -116,6 +118,7 @@ def render_tiles_sharded(
                 interpret=interpret,
                 raygen_size=(width, height),
                 row_offset=idx * band,
+                leaf_k=leaf_k,
             )
             rgb = shade_lambert(jnp.stack([nx, ny, nz], -1), tri >= 0)
             return rgb, t, tri
@@ -146,7 +149,8 @@ def render_tiles_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "fov_degrees", "mesh", "chunk", "interpret"),
+    static_argnames=("width", "height", "fov_degrees", "mesh", "chunk",
+                     "interpret", "leaf_k"),
 )
 def render_spp_sharded(
     wide: WideBVH,
@@ -161,6 +165,7 @@ def render_spp_sharded(
     chunk: int = 2048,
     qnodes: jax.Array | None = None,
     interpret: bool = False,
+    leaf_k: int = 1,
 ):
     """Samples-per-pixel across chips: chip i draws the SAME hash-jittered
     subpixel sample stream as single-chip progressive frame seeds[i]
@@ -180,6 +185,7 @@ def render_spp_sharded(
             t, nx, ny, nz, tri = trace_tiles_pallas(
                 qnodes_l, cam_pos, cam_quat, width, height, fov_degrees,
                 interpret=interpret, jitter=True, jitter_seed=seed_l[0],
+                leaf_k=leaf_k,
             )
             rgb = shade_lambert(jnp.stack([nx, ny, nz], -1), tri >= 0)
             return jax.lax.psum(rgb, axis) / n

@@ -64,13 +64,20 @@ class PathTracer:
     """Scene + camera + BVH state and the per-frame render entry point."""
 
     def __init__(self, width: int = 1920, height: int = 1080,
-                 widener: str = "collapse", builder: str = "lbvh") -> None:
+                 widener: str = "collapse", builder: str = "lbvh",
+                 leaf_size: int = 1) -> None:
         if widener not in ("collapse", "promote", "bvh2"):
             raise ValueError(f"unknown widener {widener!r}")
         if builder not in ("lbvh", "ploc", "sah"):
             raise ValueError(f"unknown builder {builder!r}")
+        if leaf_size < 1:
+            raise ValueError("leaf_size must be >= 1")
+        if leaf_size > 1 and builder != "lbvh":
+            raise ValueError("leaf_size > 1 requires the lbvh builder "
+                             "(packed clusters are Morton-order groups)")
         self.widener = widener
         self.builder = builder
+        self.leaf_size = int(leaf_size)
         self.width = int(width)
         self.height = int(height)
         self.camera_position = [0.0, 0.0, 3.5]        # PathTracer.js:67
@@ -84,6 +91,7 @@ class PathTracer:
         self._bvh4: BVH4 | None = None
         self._wide = None
         self._qnodes: jax.Array | None = None
+        self._cluster = None
         self.build_stats: dict = {}
 
         self._use_pallas = jax.default_backend() not in ("cpu",)
@@ -128,12 +136,20 @@ class PathTracer:
         self._tris_dev = jnp.asarray(tris)
         if n == 0:
             self._bvh2 = self._bvh4 = self._wide = self._qnodes = None
+            self._cluster = None
             self.build_stats = {"num_triangles": 0, "total_ms": 0.0}
             return
 
         t0 = time.perf_counter()
         self._bvh2_height = None
-        if self.builder == "ploc":
+        self._cluster = None
+        if self.leaf_size > 1:
+            from .ops.cluster import build_lbvh2_clustered
+
+            self._cluster = build_lbvh2_clustered(self._tris_dev,
+                                                  self.leaf_size)
+            self._bvh2 = self._cluster.bvh2
+        elif self.builder == "ploc":
             from .ops.ploc import build_ploc2
 
             self._bvh2 = build_ploc2(self._tris_dev)
@@ -151,7 +167,7 @@ class PathTracer:
         t2 = time.perf_counter()
 
         self._wide = make_wide_bvh(self._bvh4)
-        self._qnodes = make_qnodes(self._wide, self._tris_dev)
+        self._qnodes = self._make_qnodes()
         jax.block_until_ready(self._qnodes)
         t3 = time.perf_counter()
 
@@ -170,6 +186,15 @@ class PathTracer:
         print(f"Widen/Upload Time: {self.build_stats['widen_ms']:.2f} ms")
         print(f"BVH Build Time: {self.build_stats['total_ms']:.2f} ms")
 
+    def _make_qnodes(self) -> jax.Array:
+        """Supernode records for the Pallas kernels — packed-leaf aware."""
+        if self._cluster is not None:
+            return make_qnodes(
+                self._wide, self._cluster.tris_sorted,
+                tri_ids=self._cluster.tri_order, leaf_size=self.leaf_size,
+            )
+        return make_qnodes(self._wide, self._tris_dev)
+
     # -- rendering ---------------------------------------------------------------
 
     def _render_planes(self):
@@ -185,6 +210,12 @@ class PathTracer:
             )
             return rgb, t, tri
 
+        if self.leaf_size > 1 and not self._use_pallas:
+            raise RuntimeError(
+                "leaf_size > 1 renders through the Pallas kernel; the XLA "
+                "fallback traverses single-triangle leaves — build with "
+                "leaf_size=1 on CPU backends"
+            )
         if self._use_pallas:
             from .ops.pallas.entry import compute_tile_entries
 
@@ -196,7 +227,7 @@ class PathTracer:
             )
             t, nx, ny, nz, tri = trace_tiles_pallas(
                 self._qnodes, pos, quat, w, h, self.fov_degrees,
-                entries=entries,
+                entries=entries, leaf_k=self.leaf_size,
             )[:5]
             normals = jnp.stack([nx, ny, nz], axis=-1)
             rgb = shade_lambert(normals, tri >= 0)
@@ -258,6 +289,7 @@ class PathTracer:
             brute=len(self.triangles_data) <= _BRUTE_FORCE_MAX_TRIS,
             qnodes=self._qnodes if use_qn else None,
             compact=use_qn and bounces >= 2,
+            leaf_k=self.leaf_size,
         )
         self._accum = accumulate(self._accum, sample, jnp.int32(self.frame_count))
         self.frame_count += 1
@@ -273,7 +305,7 @@ class PathTracer:
         if self._use_pallas and len(self.triangles_data) > _BRUTE_FORCE_MAX_TRIS:
             t, nx, ny, nz, tri = trace_tiles_pallas(
                 self._qnodes, pos, quat, w, h, self.fov_degrees,
-                jitter=True, jitter_seed=seed,
+                jitter=True, jitter_seed=seed, leaf_k=self.leaf_size,
             )[:5]
             normals = jnp.stack([nx, ny, nz], axis=-1)
             return shade_lambert(normals, tri >= 0)
@@ -352,6 +384,10 @@ class PathTracer:
         if self._bvh2 is None:
             artifacts.save_scene_npz(path, self.triangles_data)
             return
+        extra = {}
+        if self._cluster is not None:
+            extra["tri_order"] = np.asarray(self._cluster.tri_order)
+            extra["leaf_size"] = np.asarray([self.leaf_size], np.int32)
         artifacts.save_scene_npz(
             path,
             self.triangles_data,
@@ -360,6 +396,7 @@ class PathTracer:
             bvh2_right=np.asarray(self._bvh2.right),
             bvh2_meta=np.asarray(self._bvh2.meta),
             bvh2_parent=np.asarray(self._bvh2.parent),
+            **extra,
         )
 
     def load_checkpoint(self, path) -> None:
@@ -378,6 +415,18 @@ class PathTracer:
             meta=jnp.asarray(data["bvh2_meta"]),
             parent=jnp.asarray(data["bvh2_parent"]),
         )
+        self._cluster = None
+        if "tri_order" in data:
+            from .ops.cluster import ClusteredScene
+
+            self.leaf_size = int(data["leaf_size"][0])
+            order = jnp.asarray(data["tri_order"])
+            self._cluster = ClusteredScene(
+                bvh2=self._bvh2,
+                tris_sorted=self._tris_dev[order.astype(jnp.int32)],
+                tri_order=order,
+                leaf_size=self.leaf_size,
+            )
         self._bvh4 = self._widen(self._bvh2)
         self._wide = make_wide_bvh(self._bvh4)
-        self._qnodes = make_qnodes(self._wide, self._tris_dev)
+        self._qnodes = self._make_qnodes()

@@ -80,14 +80,15 @@ def _normals_for(tris: jax.Array, tri_idx: jax.Array, d: jax.Array) -> jax.Array
     return n * jnp.where(flip == 0.0, 1.0, flip)
 
 
-def _occluded(wide, qnodes, tris, o, d, brute: bool):
+def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
     """NEE shadow query: True where the ray hits anything. Uses the Pallas
     any-hit mode (first accepted hit terminates the lane; streams drain
     early once fully occluded — verdict r1 #5) when records are supplied."""
     if qnodes is not None and not brute:
         from .ops.pallas.traverse import trace_rays_pallas
 
-        _, _, _, _, tri = trace_rays_pallas(qnodes, o, d, any_hit=True)
+        _, _, _, _, tri = trace_rays_pallas(qnodes, o, d, any_hit=True,
+                                            leaf_k=leaf_k)
         return tri >= 0
     if brute:
         _, tri = trace_rays_brute(tris, o, d)
@@ -96,7 +97,7 @@ def _occluded(wide, qnodes, tris, o, d, brute: bool):
     return tri >= 0
 
 
-def _trace(wide, qnodes, tris, o, d, brute: bool):
+def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
     """One wave: closest hit + ray-facing normals.
 
     Uses the Pallas ray-buffer kernel when supernode records are supplied
@@ -105,7 +106,7 @@ def _trace(wide, qnodes, tris, o, d, brute: bool):
     if qnodes is not None and not brute:
         from .ops.pallas.traverse import trace_rays_pallas
 
-        t, nx, ny, nz, tri = trace_rays_pallas(qnodes, o, d)
+        t, nx, ny, nz, tri = trace_rays_pallas(qnodes, o, d, leaf_k=leaf_k)
         n = jnp.stack([nx, ny, nz], axis=-1)
         flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
         n = n * jnp.where(flip == 0.0, 1.0, flip)
@@ -119,7 +120,8 @@ def _trace(wide, qnodes, tris, o, d, brute: bool):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "bounces", "fov_degrees", "brute", "compact"),
+    static_argnames=("width", "height", "bounces", "fov_degrees", "brute",
+                     "compact", "leaf_k"),
 )
 def pt_sample_frame(
     wide: WideBVH,
@@ -134,6 +136,7 @@ def pt_sample_frame(
     brute: bool = False,
     qnodes: jax.Array | None = None,
     compact: bool = False,
+    leaf_k: int = 1,
 ):
     """One progressive sample: jittered primary rays + path-traced bounces.
 
@@ -176,7 +179,7 @@ def pt_sample_frame(
     pix = jnp.arange(r, dtype=jnp.int32)   # ray → pixel (identity until compacted)
 
     for b in range(bounces):
-        t, tri, n = _trace(wide, qnodes, tris, o, d, brute)
+        t, tri, n = _trace(wide, qnodes, tris, o, d, brute, leaf_k)
         hit = (tri >= 0) & alive
         miss = ~(tri >= 0) & alive
 
@@ -189,7 +192,8 @@ def pt_sample_frame(
         p = o + d * t[:, None] + n * _EPS_OFFSET
 
         # next-event estimation: any-hit shadow ray toward the sun
-        occ = _occluded(wide, qnodes, tris, p, jnp.broadcast_to(sun, p.shape), brute)
+        occ = _occluded(wide, qnodes, tris, p, jnp.broadcast_to(sun, p.shape),
+                        brute, leaf_k)
         lit = ~occ
         ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
         direct = base[None, :] * (ndotl * lit)[:, None]

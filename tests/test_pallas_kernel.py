@@ -161,3 +161,36 @@ def test_entry_conservative_property():
         a = trace_tiles_pallas(qn, pos, quat, w, h, interpret=True)
         b = trace_tiles_pallas(qn, pos, quat, w, h, interpret=True, entries=entries)
         assert (np.asarray(a[4]) == np.asarray(b[4])).all(), f"trial {trial}"
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_packed_leaf_parity(k):
+    """Packed-leaf (K tris/leaf, ops/cluster.py) pipeline vs brute force,
+    on a triangle count that is NOT a multiple of K (tail cluster masked)."""
+    from raytracer_tpu.ops.cluster import build_lbvh2_clustered
+
+    tris_np = procgen.make_icosphere(2)[: 320 - 3]
+    scene = Scene().set_triangles(tris_np)
+    scene._normalize_enabled, scene._normalize_mode = True, "cube"
+    scene.normalize_mesh()
+    tris = jnp.asarray(scene.triangles)
+
+    cs = build_lbvh2_clustered(tris, leaf_size=k)
+    wide = make_wide_bvh(collapse_lbvh2_to_bvh4(cs.bvh2))
+    qn = make_qnodes(wide, cs.tris_sorted, tri_ids=cs.tri_order, leaf_size=k)
+
+    w, h = 96, 64
+    t, nx, ny, nz, tri = trace_tiles_pallas(
+        qn, CAM_POS, CAM_QUAT, w, h, interpret=True, leaf_k=k
+    )
+    bt, btri = _brute(tris, w, h)
+    assert (np.asarray(tri) == btri).all()
+    hit = btri >= 0
+    assert np.allclose(np.asarray(t)[hit], bt[hit], rtol=1e-5)
+
+    # the ray-buffer kernel must agree too (bounce waves / shadow rays)
+    o, d = generate_rays(48, 32, CAM_POS, CAM_QUAT)
+    o, d = o.reshape(-1, 3)[:1200], d.reshape(-1, 3)[:1200]
+    rt, _, _, _, rtri = trace_rays_pallas(qn, o, d, interpret=True, leaf_k=k)
+    rbt, rbtri = trace_rays_brute(tris, o, d)
+    assert (np.asarray(rtri) == np.asarray(rbtri)).all()
