@@ -37,13 +37,19 @@ def main(argv=None) -> int:
     ap.add_argument("--quick", action="store_true",
                     help="small scene/resolution (smoke test)")
     ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--builder", default="lbvh", choices=["sah", "lbvh"],
-                    help="lbvh = reference-parity Morton builder (default); sah = native binned-SAH quality builder")
-    ap.add_argument("--leaf", type=int, default=4,
+    ap.add_argument("--builder", default="sah", choices=["sah", "lbvh"],
+                    help="sah = native binned-SAH quality builder (default; "
+                         "with --leaf>1 leaves are SAH-snapped K-tri clusters, "
+                         "-33%% packet visits on the dragon); lbvh = "
+                         "reference-parity Morton builder")
+    ap.add_argument("--leaf", type=int, default=8,
                     help="triangles per BVH leaf (packed Morton clusters, "
                          "ops/cluster.py); 1 = reference-parity single-tri leaves")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--bounded", action="store_true",
+                    help="use the coarse-depth-bound + repair pipeline "
+                         "(render.py::trace_tiles_bounded) for the headline")
     args = ap.parse_args(argv)
 
     import jax
@@ -82,10 +88,27 @@ def main(argv=None) -> int:
 
     leaf_k = args.leaf if on_tpu and not args.quick else 1
 
+    try:
+        from raytracer_tpu.native import bvhtool as _bvhtool
+
+        _sah_ok = _bvhtool.available() and getattr(
+            _bvhtool._lib, "bvh_build_sah_clustered", None) is not None
+    except Exception:
+        _sah_ok = False
+    if args.builder == "sah" and not _sah_ok:
+        log("[bench] libbvhtool.so not built — falling back to --builder lbvh "
+            "(run raytracer_tpu/native/build.sh for the SAH quality builder)")
+        args.builder = "lbvh"
+
     # --- build: first run (cold compile) then steady-state rebuild ---
     def full_build():
         cluster = None
-        if leaf_k > 1:
+        if leaf_k > 1 and args.builder == "sah":
+            from raytracer_tpu.ops.cluster import build_sah2_clustered
+
+            cluster, height = build_sah2_clustered(tris, leaf_size=leaf_k)
+            bvh4 = collapse_lbvh2_to_bvh4(cluster.bvh2, sweeps=height + 2)
+        elif leaf_k > 1:
             cluster = build_lbvh2_clustered(tris, leaf_size=leaf_k)
             bvh4 = collapse_lbvh2_to_bvh4(cluster.bvh2)
         elif args.builder == "sah":
@@ -168,20 +191,31 @@ def main(argv=None) -> int:
 
     if on_tpu:
         from raytracer_tpu.ops.pallas.entry import compute_tile_entries
+        from raytracer_tpu.render import trace_tiles_bounded
+
+        use_bounded = args.bounded
 
         @jax.jit
         def render_n(qn_, wide_, poss):
             def one(pos):
                 entries = compute_tile_entries(wide_, pos, cam_quat, width, height, tile=TILE)
+                if use_bounded:
+                    t_, _, _, _, tri_, nrep = trace_tiles_bounded(
+                        qn_, pos, cam_quat, width, height,
+                        entries=entries, leaf_k=leaf_k)
+                    return jnp.sum(tri_ >= 0), nrep
                 out = trace_tiles_pallas(qn_, pos, cam_quat, width, height,
                                          entries=entries, leaf_k=leaf_k)
-                return jnp.sum(out[4] >= 0)
+                return jnp.sum(out[4] >= 0), jnp.int32(0)
             return jax.lax.map(one, poss)
 
-        hits = np.asarray(render_n(qn, wide, positions))  # warm/compile
+        hits, nreps = (np.asarray(a) for a in render_n(qn, wide, positions))  # warm
         ta = time.perf_counter()
-        hits = np.asarray(render_n(qn, wide, positions))
+        hits, nreps = (np.asarray(a) for a in render_n(qn, wide, positions))
         ms = (time.perf_counter() - ta) / args.frames * 1e3
+        if use_bounded:
+            log(f"[bench] bounded pipeline: repairs/frame {nreps.tolist()} "
+                f"(cap 16384; exactness audited in tests/test_bounded.py)")
 
         # hit-rate-matched framing (verdict r1 weak #8): camera close enough
         # that the model fills most of the frame — misses can't flatter the
@@ -191,9 +225,9 @@ def main(argv=None) -> int:
             qn, framed_pos0, cam_quat, width, height, leaf_k=leaf_k)[4])
         framed_hit_rate = float((framed_tri >= 0).mean())
         fpos = framed_pos0[None, :] + positions - cam_pos0[None, :]
-        np.asarray(render_n(qn, wide, fpos))
+        np.asarray(render_n(qn, wide, fpos)[0])
         ta = time.perf_counter()
-        np.asarray(render_n(qn, wide, fpos))
+        np.asarray(render_n(qn, wide, fpos)[0])
         framed_ms = (time.perf_counter() - ta) / args.frames * 1e3
     else:
         @jax.jit

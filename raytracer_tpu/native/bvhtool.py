@@ -111,6 +111,49 @@ def build_sah_native(tris: np.ndarray) -> tuple[dict, int]:
     return arrays, height
 
 
+def build_sah_clustered_native(tris: np.ndarray, leaf_size: int) -> tuple[dict, np.ndarray, int]:
+    """Binned-SAH build with packed-cluster leaves of exactly ``leaf_size``
+    triangles (except the global tail) — native/sah_build.cpp
+    bvh_build_sah_clustered. Splits snap to multiples of K so cluster c is
+    order[cK, min((c+1)K, n)), the same indexing contract as the Morton
+    clustering (ops/cluster.py).
+
+    Returns ({bounds,left,right,meta,parent} sized 2·ceil(n/K)−1,
+    order (n,) u32, height)."""
+    if _lib is None or getattr(_lib, "bvh_build_sah_clustered", None) is None:
+        raise RuntimeError(
+            "libbvhtool.so with bvh_build_sah_clustered not built — run "
+            "raytracer_tpu/native/build.sh"
+        )
+    tris = np.ascontiguousarray(tris, dtype=np.float32).reshape(-1, 9)
+    n = len(tris)
+    k = max(int(leaf_size), 1)
+    nc = max(-(-n // k), 1)
+    m = max(2 * nc - 1, 1)
+    bounds = np.zeros((m, 3), dtype=np.uint32)
+    left = np.zeros(m, dtype=np.uint32)
+    right = np.zeros(m, dtype=np.uint32)
+    meta = np.zeros(m, dtype=np.uint32)
+    parent = np.zeros(m, dtype=np.uint32)
+    order = np.zeros(n, dtype=np.uint32)
+    height = int(
+        _lib.bvh_build_sah_clustered(
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_uint32(n),
+            ctypes.c_uint32(k),
+            _as_u32_ptr(bounds),
+            _as_u32_ptr(left),
+            _as_u32_ptr(right),
+            _as_u32_ptr(meta),
+            _as_u32_ptr(parent),
+            _as_u32_ptr(order),
+        )
+    )
+    arrays = {"bounds": bounds, "left": left, "right": right, "meta": meta,
+              "parent": parent}
+    return arrays, order, height
+
+
 def collapse4_native(bvh2_buf: np.ndarray) -> np.ndarray:
     """BVH2 artifact image → collapsed BVH4 image via the C++ greedy
     re-emission collapse. Output trimmed to the emitted node count."""

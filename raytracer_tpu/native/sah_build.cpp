@@ -119,8 +119,18 @@ void write_node(Ctx& c, uint32_t node, const Box& b, uint32_t l, uint32_t r,
 }
 
 // Build [lo, hi) into node index `node`; spawn threads while spawn_depth>0.
+//
+// max_leaf = 1: classic single-triangle leaves, meta = LEAF_FLAG|tri.
+// max_leaf = K > 1: packed-cluster leaves for the Pallas kernel's multi-
+// triangle records (ops/cluster.py semantics). Every split keeps the left
+// child a multiple of K triangles, so every range starts at a multiple of
+// K and every leaf is exactly K triangles except the one global tail —
+// cluster c is order[cK, min((c+1)K, n)), the same indexing contract as
+// the Morton clustering, and meta = LEAF_FLAG|(lo/K). This also makes the
+// subtree node count closed-form (2·ceil(m/K)−1), preserving the
+// contiguous pre-order emission that the thread spawning relies on.
 void build_range(Ctx& c, uint32_t node, uint32_t par, uint32_t lo, uint32_t hi,
-                 uint32_t depth, int spawn_depth) {
+                 uint32_t depth, int spawn_depth, uint32_t max_leaf = 1) {
   const uint32_t n = hi - lo;
 
   Box nb;       // geometric bounds of the range
@@ -130,17 +140,20 @@ void build_range(Ctx& c, uint32_t node, uint32_t par, uint32_t lo, uint32_t hi,
     cb.grow_pt(c.cent[c.order[i]]);
   }
 
-  if (n == 1) {
+  if (n <= max_leaf) {
     uint32_t d = depth;
     uint32_t cur = c.max_depth.load(std::memory_order_relaxed);
     while (d > cur && !c.max_depth.compare_exchange_weak(cur, d)) {
     }
-    write_node(c, node, nb, 0, 0, kLeafFlag | c.order[lo], par);
+    const uint32_t m =
+        max_leaf == 1 ? (kLeafFlag | c.order[lo]) : (kLeafFlag | (lo / max_leaf));
+    write_node(c, node, nb, 0, 0, m, par);
     return;
   }
 
   // binned SAH over all 3 axes
   int best_axis = -1, best_bin = -1;
+  uint32_t best_lcnt = 0;
   float best_cost = 3.4e38f;
   const float* cbmn = &cb.mn.x;
   const float* cbmx = &cb.mx.x;
@@ -178,12 +191,32 @@ void build_range(Ctx& c, uint32_t node, uint32_t par, uint32_t lo, uint32_t hi,
         best_cost = cost;
         best_axis = a;
         best_bin = b;
+        best_lcnt = lcnt;
       }
     }
   }
 
   uint32_t mid;
-  if (best_axis < 0) {
+  if (max_leaf > 1) {
+    // snap the SAH split count to a multiple of K (both children legal),
+    // then place it exactly with an axis-ordered selection
+    const uint32_t desired = best_axis < 0 ? n / 2 : best_lcnt;
+    uint32_t nl = ((desired + max_leaf / 2) / max_leaf) * max_leaf;
+    const uint32_t nl_max = ((n - 1) / max_leaf) * max_leaf;
+    nl = std::max(max_leaf, std::min(nl, nl_max));
+    int axis = best_axis;
+    if (axis < 0) {  // degenerate centroids: order along the longest extent
+      const float ex = cbmx[0] - cbmn[0], ey = cbmx[1] - cbmn[1],
+                  ez = cbmx[2] - cbmn[2];
+      axis = ex >= ey ? (ex >= ez ? 0 : 2) : (ey >= ez ? 1 : 2);
+    }
+    auto* begin = c.order.data() + lo;
+    std::nth_element(begin, begin + nl, c.order.data() + hi,
+                     [&](uint32_t s, uint32_t t) {
+                       return (&c.cent[s].x)[axis] < (&c.cent[t].x)[axis];
+                     });
+    mid = lo + nl;
+  } else if (best_axis < 0) {
     // degenerate (all centroids equal): median split by index
     mid = lo + n / 2;
   } else {
@@ -203,18 +236,19 @@ void build_range(Ctx& c, uint32_t node, uint32_t par, uint32_t lo, uint32_t hi,
 
   const uint32_t nl = mid - lo;
   const uint32_t lchild = node + 1;
-  const uint32_t rchild = node + 2 * nl;  // pre-order: left subtree = 2nl−1 rows
+  // pre-order: left subtree = 2·ceil(nl/K)−1 rows
+  const uint32_t rchild = node + 2 * ((nl + max_leaf - 1) / max_leaf);
   write_node(c, node, nb, lchild, rchild, 0, par);
 
   if (spawn_depth > 0 && n > 4096) {
-    std::thread tl([&c, lchild, node, lo, mid, depth, spawn_depth] {
-      build_range(c, lchild, node, lo, mid, depth + 1, spawn_depth - 1);
+    std::thread tl([&c, lchild, node, lo, mid, depth, spawn_depth, max_leaf] {
+      build_range(c, lchild, node, lo, mid, depth + 1, spawn_depth - 1, max_leaf);
     });
-    build_range(c, rchild, node, mid, hi, depth + 1, spawn_depth - 1);
+    build_range(c, rchild, node, mid, hi, depth + 1, spawn_depth - 1, max_leaf);
     tl.join();
   } else {
-    build_range(c, lchild, node, lo, mid, depth + 1, 0);
-    build_range(c, rchild, node, mid, hi, depth + 1, 0);
+    build_range(c, lchild, node, lo, mid, depth + 1, 0, max_leaf);
+    build_range(c, rchild, node, mid, hi, depth + 1, 0, max_leaf);
   }
 }
 
@@ -254,6 +288,46 @@ uint32_t bvh_build_sah(const float* tris, uint32_t n, uint32_t* bounds,
   const unsigned hw = std::max(2u, std::thread::hardware_concurrency());
   const int spawn = int(std::ceil(std::log2(double(hw)))) + 1;
   build_range(c, 0, kInvalid, 0, n, 0, spawn);
+  return c.max_depth.load();
+}
+
+// SAH build with packed-cluster leaves of exactly `max_leaf` triangles
+// (except the one global tail): the quality alternative to the Morton-run
+// clustering of ops/cluster.py. Tree arrays hold 2·ceil(n/K)−1 rows; leaf
+// meta = LEAF_FLAG|cluster, cluster c = order[cK, min((c+1)K, n)).
+// `order_out` (n u32) receives the triangle permutation. Returns height.
+uint32_t bvh_build_sah_clustered(const float* tris, uint32_t n,
+                                 uint32_t max_leaf, uint32_t* bounds,
+                                 uint32_t* left, uint32_t* right,
+                                 uint32_t* meta, uint32_t* parent,
+                                 uint32_t* order_out) {
+  if (n == 0) return 0;
+  if (max_leaf < 1) max_leaf = 1;
+  Ctx c;
+  c.tris = tris;
+  c.bounds = bounds;
+  c.left = left;
+  c.right = right;
+  c.meta = meta;
+  c.parent = parent;
+  c.tbox.resize(n);
+  c.cent.resize(n);
+  c.order.resize(n);
+  for (uint32_t t = 0; t < n; ++t) {
+    const float* v = tris + t * 9;
+    Box b;
+    b.grow_pt({v[0], v[1], v[2]});
+    b.grow_pt({v[3], v[4], v[5]});
+    b.grow_pt({v[6], v[7], v[8]});
+    c.tbox[t] = b;
+    c.cent[t] = {(b.mn.x + b.mx.x) * 0.5f, (b.mn.y + b.mx.y) * 0.5f,
+                 (b.mn.z + b.mx.z) * 0.5f};
+    c.order[t] = t;
+  }
+  const unsigned hw = std::max(2u, std::thread::hardware_concurrency());
+  const int spawn = int(std::ceil(std::log2(double(hw)))) + 1;
+  build_range(c, 0, kInvalid, 0, n, 0, spawn, max_leaf);
+  std::memcpy(order_out, c.order.data(), size_t(n) * 4);
   return c.max_depth.load();
 }
 

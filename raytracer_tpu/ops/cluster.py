@@ -48,7 +48,7 @@ from .lbvh import (
 )
 from .morton import build_morton_and_sort
 
-__all__ = ["ClusteredScene", "build_lbvh2_clustered"]
+__all__ = ["ClusteredScene", "build_lbvh2_clustered", "build_sah2_clustered"]
 
 
 class ClusteredScene(NamedTuple):
@@ -125,3 +125,36 @@ def build_lbvh2_clustered(triangles: jax.Array, leaf_size: int = 4) -> Clustered
     if leaf_size < 1:
         raise ValueError("leaf_size must be >= 1")
     return _build_clustered_impl(triangles, n, leaf_size)
+
+
+def build_sah2_clustered(
+    triangles: jax.Array, leaf_size: int = 8
+) -> tuple[ClusteredScene, int]:
+    """SAH-quality packed-leaf BVH2 (native binned-SAH, host) + tree height.
+
+    Same ClusteredScene contract as :func:`build_lbvh2_clustered` — cluster
+    ``c`` owns sorted triangles [cK, min(N, (c+1)K)) — but clusters come
+    from SAH splits snapped to multiples of K (native/sah_build.cpp), so
+    they are spatially compact with tighter boxes than Morton runs: fewer
+    slab-passing leaf slots per packet visit in the Pallas kernel. Pass
+    ``sweeps=height+2`` to collapse_lbvh2_to_bvh4.
+    """
+    import numpy as np
+
+    from ..native.bvhtool import build_sah_clustered_native
+
+    n = int(triangles.shape[0])
+    if n < 1:
+        raise ValueError("build_sah2_clustered requires at least one triangle")
+    tris_np = np.asarray(triangles, dtype=np.float32)
+    arrays, order, height = build_sah_clustered_native(tris_np, leaf_size)
+    bvh2 = LBVH2(
+        bounds_u32=jnp.asarray(arrays["bounds"]),
+        left=jnp.asarray(arrays["left"]),
+        right=jnp.asarray(arrays["right"]),
+        meta=jnp.asarray(arrays["meta"]),
+        parent=jnp.asarray(arrays["parent"]),
+    )
+    order_j = jnp.asarray(order)
+    tris_sorted = jnp.asarray(triangles)[order_j.astype(jnp.int32)]
+    return ClusteredScene(bvh2, tris_sorted, order_j, int(leaf_size)), int(height)

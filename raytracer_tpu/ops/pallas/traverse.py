@@ -536,6 +536,7 @@ def _persistent_kernel(
     leaf_k,             # static python int — triangles per leaf record slot
     cam_ref,            # SMEM (16,) f32: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H, seed, roff, coff
     entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes
+    tbound_ref,         # SMEM (nty, ntx) f32 — per-tile initial far bound (INF = none)
     qnodes_ref,         # HBM (M, 128) f32
     out_ref,            # HBM (T, 6, SUB, 128) f32 — planes t,nx,ny,nz,tri,visits
     ray_scr,            # VMEM (NS, 6, SUB, 128) f32 — dx,dy,dz,ix,iy,iz
@@ -601,16 +602,22 @@ def _persistent_kernel(
         fstate_scr[1, s] = dcy
         fstate_scr[2, s] = dcz
 
-        # reset hit state + stack
-        hit_scr[s, 0] = jnp.full((SUB, 128), INF, f32)
+        # reset hit state + stack. A finite per-tile depth bound (from a
+        # coarse prepass — see render.py::render_ldr_bounded) seeds best-t
+        # and the pop-cull bound: geometry behind the bound is pruned by the
+        # ordinary slab/cull tests. Lanes that end with tri<0 under a finite
+        # bound are re-traced unbounded by the host (the repair pass), so
+        # the final image is exact.
+        tb = tbound_ref[ti, tj]
+        hit_scr[s, 0] = jnp.full((SUB, 128), tb, f32)
         hit_scr[s, 1] = jnp.zeros((SUB, 128), f32)
         hit_scr[s, 2] = jnp.zeros((SUB, 128), f32)
         hit_scr[s, 3] = jnp.zeros((SUB, 128), f32)
         hit_scr[s, 4] = jnp.full((SUB, 128), -1.0, f32)
         stack_n[s, 0] = entry_ref[ti, tj]
         stack_d[s, 0] = f32(0.0)
-        maxb_scr[s, 0] = f32(INF)
-        maxb_scr[s, 1] = f32(INF)
+        maxb_scr[s, 0] = tb
+        maxb_scr[s, 1] = tb
         istate_scr[_SP, s] = jnp.int32(0)
         istate_scr[_VISITS, s] = jnp.int32(0)
 
@@ -848,6 +855,7 @@ def trace_tiles_pallas(
     row_offset=0,
     col_offset=0,
     leaf_k: int = 1,
+    tbounds: jax.Array | None = None,
 ):
     """Trace all primary rays → (t, nx, ny, nz, tri[, visits]) images of
     (height,width); ``stats=True`` appends a per-tile visit-count plane.
@@ -885,6 +893,13 @@ def trace_tiles_pallas(
         ey, ex = entries.shape
         entries = jnp.pad(entries, ((0, nty - ey), (0, ntx - ex)))
 
+    if tbounds is None:
+        tbounds = jnp.full((nty, ntx), INF, jnp.float32)
+    else:
+        by, bx = tbounds.shape
+        tbounds = jnp.pad(tbounds, ((0, nty - by), (0, ntx - bx)),
+                          constant_values=INF)
+
     recw = rec_layout(leaf_k)[2]
     if qnodes.shape[1] * qnodes.shape[2] != recw:
         raise ValueError(
@@ -898,13 +913,14 @@ def trace_tiles_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
             pl.BlockSpec(memory_space=pltpu.SMEM),  # entries (full, tiny)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tbounds (full, tiny)
             pl.BlockSpec(memory_space=pltpu.HBM),   # qnodes
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 6, SUB, 128), jnp.float32),
         scratch_shapes=_persistent_scratch_shapes(recw),
         interpret=interpret,
-    )(cam, entries, qnodes)
+    )(cam, entries, tbounds, qnodes)
 
     # (T, 6, SUB, 128) → 6 × (H, W); tri/visits planes carry exact ints
     img = out.reshape(nty, ntx, 6, TILE, TILE)

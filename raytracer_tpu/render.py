@@ -18,7 +18,8 @@ from .ops.camera import generate_rays
 from .ops.shade import quantize_rgba8, shade_lambert, triangle_normals
 from .ops.trace import WideBVH, trace_rays, trace_rays_brute
 
-__all__ = ["render_ldr", "render_ldr_brute", "render_frame_u8"]
+__all__ = ["render_ldr", "render_ldr_brute", "render_frame_u8",
+           "trace_tiles_bounded"]
 
 # chunk = one 64×128 pixel tile (spatially coherent, VPU-friendly shape)
 _TILE_H = 64
@@ -90,6 +91,115 @@ def render_ldr_brute(
     hit = tri >= 0
     rgb = shade_lambert(triangle_normals(tris, tri), hit)
     return rgb, t, tri
+
+
+@partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "leaf_k",
+                                   "coarse_stride", "repair_cap", "interpret",
+                                   "_bound_scale", "_bound_pad"))
+def trace_tiles_bounded(
+    qnodes: jax.Array,
+    cam_pos: jax.Array,
+    cam_quat: jax.Array,
+    width: int,
+    height: int,
+    fov_degrees: float = 70.0,
+    leaf_k: int = 1,
+    entries: jax.Array | None = None,
+    coarse_stride: int = 8,
+    repair_cap: int = 16384,
+    interpret: bool = False,
+    _bound_scale: float = 1.05,   # test knob: <1 forces bound underestimates
+    _bound_pad: float = 0.02,     # ... which the repair pass must then fix
+):
+    """Primary-ray trace with coarse depth-bound acceleration — exact output.
+
+    Three passes over the Pallas supernode kernel:
+
+    1. **Coarse**: the same frustum at 1/``coarse_stride`` resolution. Each
+       full-res 32-px tile is covered by a block of coarse samples whose
+       max hit-t (dilated one tile in every direction, +5%+0.02 slack)
+       becomes the tile's conservative far bound; any coarse MISS in the
+       neighborhood forces the bound to +inf (silhouette/sky tiles run
+       unbounded).
+    2. **Main**: the full-res kernel seeded with the per-tile bound as the
+       initial best-t and pop-cull limit — geometry behind the visible
+       surface is pruned by the ordinary slab/cull tests (2-4x fewer visits
+       and leaf tests on interior tiles).
+    3. **Repair**: a lane that reports no hit under a *finite* bound might
+       truly hit beyond it (a bound underestimate — e.g. a full-res ray
+       threading a gap the coarse grid missed). Those rays (first
+       ``repair_cap``; the count is returned for auditing) are re-traced
+       unbounded through the ray-buffer kernel and scattered back.
+
+    A found hit under bound ``B`` is always the true nearest (traversal
+    visits every node with tmin below the running best-t), so only
+    no-hit-under-finite-bound lanes can be wrong — exactly the repaired
+    set. Returns ``(t, nx, ny, nz, tri, n_repair)`` with t=INF on misses.
+    """
+    from .ops.pallas.traverse import (
+        INF as _PINF,
+        TILE,
+        trace_rays_pallas,
+        trace_tiles_pallas,
+    )
+
+    pw, ph = -(-width // TILE) * TILE, -(-height // TILE) * TILE
+    nty, ntx = ph // TILE, pw // TILE
+    per = TILE // coarse_stride  # coarse samples per tile side
+    cw, ch = width // coarse_stride, height // coarse_stride
+
+    # -- pass 1: coarse depth probe (same frustum => exact aspect) --
+    ct, _, _, _, ctri = trace_tiles_pallas(
+        qnodes, cam_pos, cam_quat, cw, ch, fov_degrees,
+        leaf_k=leaf_k, interpret=interpret,
+    )[:5]
+    ct = jnp.where(ctri >= 0, ct, _PINF)
+    ct = jnp.pad(ct, ((0, nty * per - ch), (0, ntx * per - cw)),
+                 constant_values=_PINF)
+    pooled = ct.reshape(nty, per, ntx, per).max(axis=(1, 3))
+    # dilate one tile in every direction (surface slope / misalignment slack)
+    dil = jnp.pad(pooled, 1, constant_values=_PINF)
+    bounds = pooled
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            bounds = jnp.maximum(
+                bounds, dil[1 + dy : 1 + dy + nty, 1 + dx : 1 + dx + ntx]
+            )
+    bounds = jnp.where(bounds >= _PINF, _PINF,
+                       bounds * jnp.float32(_bound_scale) + jnp.float32(_bound_pad))
+
+    # -- pass 2: bounded full-res trace --
+    t, nx, ny, nz, tri = trace_tiles_pallas(
+        qnodes, cam_pos, cam_quat, width, height, fov_degrees,
+        entries=entries, leaf_k=leaf_k, tbounds=bounds, interpret=interpret,
+    )[:5]
+
+    # -- pass 3: repair no-hit lanes of bounded tiles --
+    bpix = jnp.repeat(jnp.repeat(bounds, TILE, 0), TILE, 1)[:height, :width]
+    need = (tri < 0) & (bpix < _PINF)
+    n_repair = jnp.sum(need)
+    (idx,) = jnp.nonzero(need.ravel(), size=repair_cap, fill_value=-1)
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+
+    o, d = generate_rays(width, height, cam_pos, cam_quat, fov_degrees)
+    o_sel = o.reshape(-1, 3)[safe]
+    d_sel = d.reshape(-1, 3)[safe]
+    rt, rnx, rny, rnz, rtri = trace_rays_pallas(
+        qnodes, o_sel, d_sel, leaf_k=leaf_k, interpret=interpret
+    )
+
+    def patch(plane, rep):
+        flat = plane.ravel()
+        return flat.at[safe].set(
+            jnp.where(valid, rep, flat[safe])
+        ).reshape(plane.shape)
+
+    t = patch(t, rt)
+    nx, ny, nz = patch(nx, rnx), patch(ny, rny), patch(nz, rnz)
+    tri = patch(tri, rtri)
+    t = jnp.where(tri >= 0, t, _PINF)
+    return t, nx, ny, nz, tri, n_repair
 
 
 def render_frame_u8(wide, tris, cam_pos, cam_quat, width, height, fov_degrees=70.0):

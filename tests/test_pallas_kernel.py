@@ -163,7 +163,7 @@ def test_entry_conservative_property():
         assert (np.asarray(a[4]) == np.asarray(b[4])).all(), f"trial {trial}"
 
 
-@pytest.mark.parametrize("k", [2, 4])
+@pytest.mark.parametrize("k", [2, 4, 8])
 def test_packed_leaf_parity(k):
     """Packed-leaf (K tris/leaf, ops/cluster.py) pipeline vs brute force,
     on a triangle count that is NOT a multiple of K (tail cluster masked)."""
