@@ -42,9 +42,11 @@ def main(argv=None) -> int:
                          "with --leaf>1 leaves are SAH-snapped K-tri clusters, "
                          "-33%% packet visits on the dragon); lbvh = "
                          "reference-parity Morton builder")
-    ap.add_argument("--leaf", type=int, default=8,
-                    help="triangles per BVH leaf (packed Morton clusters, "
-                         "ops/cluster.py); 1 = reference-parity single-tri leaves")
+    ap.add_argument("--leaf", type=int, default=32,
+                    help="triangles per BVH leaf (packed clusters, "
+                         "ops/cluster.py; K=32 is the measured optimum with "
+                         "the SAH builder); 1 = reference-parity single-tri "
+                         "leaves")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--bounded", action="store_true",
@@ -210,9 +212,13 @@ def main(argv=None) -> int:
             return jax.lax.map(one, poss)
 
         hits, nreps = (np.asarray(a) for a in render_n(qn, wide, positions))  # warm
-        ta = time.perf_counter()
-        hits, nreps = (np.asarray(a) for a in render_n(qn, wide, positions))
-        ms = (time.perf_counter() - ta) / args.frames * 1e3
+        reps = []
+        for _ in range(3):
+            ta = time.perf_counter()
+            hits, nreps = (np.asarray(a) for a in render_n(qn, wide, positions))
+            reps.append((time.perf_counter() - ta) / args.frames * 1e3)
+        ms = float(np.median(reps))
+        log(f"[bench] reps {[f'{r:.2f}' for r in reps]} ms/frame (median reported)")
         if use_bounded:
             log(f"[bench] bounded pipeline: repairs/frame {nreps.tolist()} "
                 f"(cap 16384; exactness audited in tests/test_bounded.py)")

@@ -48,8 +48,11 @@ on K = triangles per leaf — 128 words for K ≤ 2, 256 for K ≤ 6, …):
              −2^28      → empty slot
   [28:32]  per-slot scalar: bounding-sphere radius (internal) or triangle
            count ≤ K (leaf)
-  [32 + (kK+j)·9 : +9]   leaf vertices of slot k's j-th triangle (v0,v1,v2)
-  [32+36K + kK+j]        original triangle id of slot k's j-th triangle
+  [32 + (kK+j)·12 : +12] leaf record of slot k's j-th triangle:
+                         v0, e1=v1−v0, e2=v2−v0, g=e1×e2 (precomputed with
+                         the kernel's exact f32 op sequence — bit-identical
+                         MT, fewer per-visit instructions)
+  [32+48K + kK+j]        original triangle id of slot k's j-th triangle
 Packed-leaf trees (ops/cluster.py) store K Morton-adjacent triangles per
 leaf: K× fewer records/visits at the cost of K Möller–Trumbores per leaf
 slot — vector work that hides under the other streams' DMAs.
@@ -102,9 +105,16 @@ _SP, _PEND, _VISITS, _CURTILE, _BUF, _DMA0, _DMA1 = range(7)
 # ---------------------------------------------------------------------------
 
 def rec_layout(leaf_size: int) -> tuple[int, int, int]:
-    """(verts_base, ids_base, record_width) for K = leaf_size tris/leaf."""
+    """(verts_base, ids_base, record_width) for K = leaf_size tris/leaf.
+
+    Leaf triangle j of slot k occupies 12 words at vbase + (k·K+j)·12:
+    [v0(3), e1(3), e2(3), g(3)] with e1 = v1−v0, e2 = v2−v0 and
+    g = e1×e2 (unnormalized geometric normal) precomputed by make_qnodes
+    with the exact f32 op sequence the kernel used to run per visit —
+    bit-identical results, ~18 fewer scalar instructions per MT on the
+    issue-bound core."""
     vbase = 32
-    ibase = vbase + 36 * leaf_size
+    ibase = vbase + 48 * leaf_size
     return vbase, ibase, -(-(ibase + 4 * leaf_size) // 128) * 128
 
 
@@ -161,19 +171,34 @@ def make_qnodes(
     radius = jnp.where(jnp.isfinite(radius), radius, 0.0)
     rec = rec.at[:, 28:32].set(jnp.where(is_leaf, count, radius))
 
-    # inline leaf triangle vertices (and original ids) per slot
+    # inline leaf triangle data per slot: [v0, e1, e2, g] — the same f32
+    # subtraction/cross sequence the kernel's MT used to execute, hoisted
+    # to build time (see rec_layout)
     flat_tris = tris.reshape(n_tris, 9)
+    v0f, v1f, v2f = flat_tris[:, 0:3], flat_tris[:, 3:6], flat_tris[:, 6:9]
+    e1f = v1f - v0f
+    e2f = v2f - v0f
+    gf = jnp.stack(
+        [
+            e1f[:, 1] * e2f[:, 2] - e1f[:, 2] * e2f[:, 1],
+            e1f[:, 2] * e2f[:, 0] - e1f[:, 0] * e2f[:, 2],
+            e1f[:, 0] * e2f[:, 1] - e1f[:, 1] * e2f[:, 0],
+        ],
+        axis=-1,
+    )
+    tri_rec = jnp.concatenate([v0f, e1f, e2f, gf], axis=-1)  # (T, 12)
     for k in range(4):
-        for j in range(k_sz):
-            idx = first[:, k] + j
-            valid = is_leaf[:, k] & (idx < n_tris)
-            safe = jnp.clip(idx, 0, n_tris - 1)
-            v = jnp.where(valid[:, None], flat_tris[safe], 0.0)
-            vb = vbase + (k * k_sz + j) * 9
-            rec = rec.at[:, vb : vb + 9].set(v)
-            ids = tri_ids[safe].astype(jnp.float32) if tri_ids is not None \
-                else idx.astype(jnp.float32)
-            rec = rec.at[:, ibase + k * k_sz + j].set(jnp.where(valid, ids, -1.0))
+        idx = first[:, k, None] + jnp.arange(k_sz, dtype=first.dtype)  # (M,K)
+        valid = is_leaf[:, k, None] & (idx < n_tris)
+        safe = jnp.clip(idx, 0, n_tris - 1).astype(jnp.int32)
+        v = jnp.where(valid[..., None], tri_rec[safe], 0.0)            # (M,K,12)
+        vb = vbase + k * k_sz * 12
+        rec = rec.at[:, vb : vb + k_sz * 12].set(v.reshape(m, k_sz * 12))
+        ids = tri_ids[safe].astype(jnp.float32) if tri_ids is not None \
+            else idx.astype(jnp.float32)
+        rec = rec.at[:, ibase + k * k_sz : ibase + (k + 1) * k_sz].set(
+            jnp.where(valid, ids, -1.0)
+        )
     # (M, R128, 128): Mosaic can only dynamically slice the leading dim of a
     # lane-tiled HBM array, so records wider than one lane tile are exposed
     # as stacked 128-wide rows
@@ -315,13 +340,15 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
     do_mt = [leaf_flags[k] & slot_hit[k] for k in range(4)]
 
     def mt_one(b_ofs, gate, tid, cur, vnx, vny, vnz, vtri):
-        """One Möller–Trumbore from record words [b_ofs:b_ofs+9] against all
-        lanes; returns the updated best-hit registers."""
+        """One Möller–Trumbore from the 12-word precomputed record
+        [v0, e1, e2, g] at ``b_ofs`` against all lanes; returns the updated
+        best-hit registers. Identical accept set / t values to the
+        from-vertices formulation — the subtractions and cross products were
+        hoisted verbatim into make_qnodes."""
         v0x, v0y, v0z = rd(b_ofs), rd(b_ofs + 1), rd(b_ofs + 2)
-        v1x, v1y, v1z = rd(b_ofs + 3), rd(b_ofs + 4), rd(b_ofs + 5)
-        v2x, v2y, v2z = rd(b_ofs + 6), rd(b_ofs + 7), rd(b_ofs + 8)
-        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        e1x, e1y, e1z = rd(b_ofs + 3), rd(b_ofs + 4), rd(b_ofs + 5)
+        e2x, e2y, e2z = rd(b_ofs + 6), rd(b_ofs + 7), rd(b_ofs + 8)
+        gnx, gny, gnz = rd(b_ofs + 9), rd(b_ofs + 10), rd(b_ofs + 11)
 
         px_ = dy * e2z - dz * e2y
         py_ = dz * e2x - dx * e2z
@@ -342,9 +369,6 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
             & (vv >= 0.0) & (uu + vv <= 1.0)
             & (tt > MT_EPS) & (tt < cur)
         )
-        gnx = e1y * e2z - e1z * e2y
-        gny = e1z * e2x - e1x * e2z
-        gnz = e1x * e2y - e1y * e2x
         g_inv = jax.lax.rsqrt(gnx * gnx + gny * gny + gnz * gnz)
         if vtri.dtype == jnp.int32:
             tid = tid.astype(jnp.int32)
@@ -389,7 +413,7 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
                 hit_regs = read_hit()
                 for k in range(4):
                     hit_regs = mt_one(
-                        vbase + 9 * k, do_mt[k], -refcs[k] - 1.0, *hit_regs
+                        vbase + 12 * k, do_mt[k], -refcs[k] - 1.0, *hit_regs
                     )
                 write_hit(*hit_regs)
         else:
@@ -400,7 +424,7 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
                     cnt = rd(28 + k)
                     for j in range(leaf_k):
                         hit_regs = mt_one(
-                            vbase + (k * leaf_k + j) * 9,
+                            vbase + (k * leaf_k + j) * 12,
                             f32(j) < cnt,
                             rd(ibase + k * leaf_k + j),
                             *hit_regs,

@@ -72,9 +72,10 @@ class PathTracer:
             raise ValueError(f"unknown builder {builder!r}")
         if leaf_size < 1:
             raise ValueError("leaf_size must be >= 1")
-        if leaf_size > 1 and builder != "lbvh":
+        if leaf_size > 1 and builder not in ("lbvh", "sah"):
             raise ValueError("leaf_size > 1 requires the lbvh builder "
-                             "(packed clusters are Morton-order groups)")
+                             "(Morton-run clusters) or the sah builder "
+                             "(SAH-snapped clusters)")
         self.widener = widener
         self.builder = builder
         self.leaf_size = int(leaf_size)
@@ -143,7 +144,13 @@ class PathTracer:
         t0 = time.perf_counter()
         self._bvh2_height = None
         self._cluster = None
-        if self.leaf_size > 1:
+        if self.leaf_size > 1 and self.builder == "sah":
+            from .ops.cluster import build_sah2_clustered
+
+            self._cluster, self._bvh2_height = build_sah2_clustered(
+                self._tris_dev, self.leaf_size)
+            self._bvh2 = self._cluster.bvh2
+        elif self.leaf_size > 1:
             from .ops.cluster import build_lbvh2_clustered
 
             self._cluster = build_lbvh2_clustered(self._tris_dev,
