@@ -104,6 +104,28 @@ def config1(frames):
           {"tris": s.num_triangles, "hit_rate": float(hits[0]) / (w * h)})
 
 
+def _cluster_qnodes(wide, tris, leaf_k=8):
+    """Supernode records for the Pallas ray-buffer path — SAH-snapped
+    K-tri clusters when the native builder is available (fewer slab-passing
+    leaf slots per visit), single-triangle records otherwise. The caller's
+    ``wide``/``tris`` stay untouched: with qnodes present the PT paths
+    trace exclusively through the records and report original tri ids."""
+    from raytracer_tpu.ops.pallas.traverse import make_qnodes
+
+    try:
+        from raytracer_tpu.ops.cluster import build_sah2_clustered
+        from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
+        from raytracer_tpu.ops.trace import make_wide_bvh
+
+        cs, h = build_sah2_clustered(tris, leaf_size=leaf_k)
+        wide_c = make_wide_bvh(collapse_lbvh2_to_bvh4(cs.bvh2, sweeps=h + 2))
+        return make_qnodes(wide_c, cs.tris_sorted, tri_ids=cs.tri_order,
+                           leaf_size=leaf_k), leaf_k
+    except Exception as e:
+        log(f"[suite] SAH clusters unavailable ({e}); single-tri records")
+        return make_qnodes(wide, tris), 1
+
+
 def config2(frames):
     """Bunny-class icosphere (~82k tris), 512×512, 4 spp jittered, BVH4-wide."""
     import jax
@@ -125,17 +147,16 @@ def config2(frames):
 
     import jax as _jax
     qn = None
+    leaf_k = 1
     if _jax.default_backend() != "cpu":
-        from raytracer_tpu.ops.pallas.traverse import make_qnodes
-
-        qn = make_qnodes(wide, tris)
+        qn, leaf_k = _cluster_qnodes(wide, tris)
 
     @jax.jit
     def render_frame(wide_, tris_, seed):
         def one(i):
             return pt_sample_frame(
                 wide_, tris_, pos, quat, jax.random.key(seed + i), w, h,
-                bounces=1, qnodes=qn,
+                bounces=1, qnodes=qn, leaf_k=leaf_k,
             )
         acc = jnp.zeros((h, w, 3))
         for i in range(spp):
@@ -181,16 +202,16 @@ def config4(frames):
     pos = np.array([0, 0, 0.8], np.float32)
 
     qn = None
+    leaf_k = 1
     if jax.default_backend() != "cpu":
-        from raytracer_tpu.ops.pallas.traverse import make_qnodes
-
-        qn = make_qnodes(wide, tris)
+        qn, leaf_k = _cluster_qnodes(wide, tris)
 
     @jax.jit
     def render_frame(wide_, tris_, seed):
         sfr = pt_sample_frame(
             wide_, tris_, pos, quat, jax.random.key(seed), w, h,
             bounces=bounces, qnodes=qn, compact=qn is not None,
+            leaf_k=leaf_k,
         )
         return jnp.sum(sfr)
 
