@@ -51,7 +51,16 @@ def _load_scene(args) -> Scene:
 
 
 def _dump_bvh2(tracer: PathTracer, api_url: str) -> None:
-    """One-time artifact dump (src/main.js:27-46 analog)."""
+    """One-time artifact dump (src/main.js:27-46 analog).
+
+    Only the reference-parity tree (single-triangle leaves) is dumped —
+    packed-cluster trees carry cluster ids in the leaf metas, which the
+    offline BVH2.bin consumers (bin/bvh_convert, tests/test.py analogs)
+    would misread as triangle indices."""
+    if tracer.leaf_size > 1:
+        print("[app] BVH2 dump skipped (packed-cluster tree; "
+              "run with --builder lbvh for the reference artifact)")
+        return
     buf = tracer.bvh2_artifact()
     try:
         req = urllib.request.Request(
@@ -76,12 +85,27 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="data/frame.png")
     ap.add_argument("--api", default="http://127.0.0.1:3000")
     ap.add_argument("--orbit", action="store_true", help="orbit camera path")
+    ap.add_argument("--builder", default="auto",
+                    choices=["auto", "lbvh", "ploc", "sah"],
+                    help="auto = fastest available (SAH K=32 clusters on "
+                         "TPU); lbvh = reference-parity tree (enables the "
+                         "BVH2.bin artifact dump)")
+    ap.add_argument("--leaf", type=int, default=None,
+                    help="triangles per BVH leaf (default: auto per backend)")
     args = ap.parse_args(argv)
 
     scene = _load_scene(args)
     print(f"[app] scene: {scene.num_triangles} triangles")
 
-    tracer = PathTracer(width=args.width, height=args.height)
+    from raytracer_tpu.pathtracer import fast_build_options
+
+    builder, leaf = fast_build_options()
+    if args.builder != "auto":
+        builder, leaf = args.builder, 1
+    if args.leaf is not None:
+        leaf = args.leaf
+    tracer = PathTracer(width=args.width, height=args.height,
+                        builder=builder, leaf_size=leaf)
     camera = FPSCamera(position=(0.0, 0.0, 3.5))
     tracer.set_scene(scene)
     _dump_bvh2(tracer, args.api)

@@ -28,17 +28,26 @@ def main(argv=None) -> int:
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--port", type=int, default=3000)
-    ap.add_argument("--builder", default="lbvh", choices=["lbvh", "ploc", "sah"])
+    ap.add_argument("--builder", default="auto",
+                    choices=["auto", "lbvh", "ploc", "sah"],
+                    help="auto = fastest available (SAH K=32 clusters on TPU)")
+    ap.add_argument("--leaf", type=int, default=None,
+                    help="triangles per BVH leaf (default: auto per backend)")
     args = ap.parse_args(argv)
 
     from raytracer_tpu.models.camera import FPSCamera
     from raytracer_tpu.models.scene import Scene
-    from raytracer_tpu.pathtracer import PathTracer
+    from raytracer_tpu.pathtracer import PathTracer, fast_build_options
     from raytracer_tpu.server.viewer import run_viewer
     from raytracer_tpu.utils import procgen
 
+    builder, leaf = fast_build_options()
+    if args.builder != "auto":
+        builder, leaf = args.builder, 1
+    if args.leaf is not None:
+        leaf = args.leaf
     tracer = PathTracer(width=args.width, height=args.height,
-                        builder=args.builder)
+                        builder=builder, leaf_size=leaf)
     if args.scene:
         scene = Scene().load_glb(args.scene, normalize=True, mode="cube")
     else:

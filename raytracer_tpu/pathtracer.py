@@ -42,7 +42,29 @@ from .ops.shade import present_frame, quantize_rgba8, shade_lambert
 from .ops.trace import make_wide_bvh
 from .render import render_frame_u8, render_ldr, render_ldr_brute
 
-__all__ = ["PathTracer"]
+__all__ = ["PathTracer", "fast_build_options"]
+
+
+def fast_build_options() -> tuple[str, int]:
+    """(builder, leaf_size) for the fastest available configuration on this
+    backend: SAH-snapped K=32 clusters on TPU when the native builder is
+    present (the measured optimum, PERF.md), Morton K=8 clusters without it,
+    reference-parity single-triangle LBVH on CPU (the packed-cluster path
+    renders through the Pallas kernel, which needs a TPU)."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return "lbvh", 1
+    try:
+        from .native import bvhtool
+
+        if bvhtool.available() and getattr(
+            bvhtool._lib, "bvh_build_sah_clustered", None
+        ) is not None:
+            return "sah", 32
+    except Exception:
+        pass
+    return "lbvh", 8
 
 _BRUTE_FORCE_MAX_TRIS = 8
 
