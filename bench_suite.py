@@ -104,7 +104,7 @@ def config1(frames):
           {"tris": s.num_triangles, "hit_rate": float(hits[0]) / (w * h)})
 
 
-def _cluster_qnodes(wide, tris, leaf_k=8):
+def _cluster_qnodes(wide, tris, leaf_k=int(os.environ.get("RT_SUITE_LEAF", "32"))):
     """Supernode records for the Pallas ray-buffer path — SAH-snapped
     K-tri clusters when the native builder is available (fewer slab-passing
     leaf slots per visit), single-triangle records otherwise. The caller's
