@@ -160,3 +160,13 @@ def test_ploc_builder_renders_identically_to_brute():
     )
     diff = np.abs(img.astype(int) - want.astype(int))
     assert (diff <= 1).mean() > 0.999
+
+
+def test_fast_build_options_cpu():
+    """On the CPU test backend the fast configuration must be the
+    reference-parity single-triangle LBVH (packed clusters need the Pallas
+    kernel, i.e. a TPU)."""
+    from raytracer_tpu.pathtracer import fast_build_options
+
+    builder, leaf = fast_build_options()
+    assert (builder, leaf) == ("lbvh", 1)
