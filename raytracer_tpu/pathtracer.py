@@ -332,6 +332,13 @@ class PathTracer:
         seed = self.frame_count + 1
 
         if self._use_pallas and len(self.triangles_data) > _BRUTE_FORCE_MAX_TRIS:
+            # NOTE: render.trace_tiles_temporal (previous-sample depth
+            # bounds + exact repair) exists as an opt-in accelerator, but
+            # is NOT wired here: on the benchmark scenes the bounded pass
+            # saves less than the bound/repair glue costs (thin-shell
+            # geometry leaves little behind-surface work to prune — PERF.md
+            # negative result list). Revisit for interior/architectural
+            # scenes where all-hit tiles dominate.
             t, nx, ny, nz, tri = trace_tiles_pallas(
                 self._qnodes, pos, quat, w, h, self.fov_degrees,
                 jitter=True, jitter_seed=seed, leaf_k=self.leaf_size,

@@ -19,7 +19,7 @@ from .ops.shade import quantize_rgba8, shade_lambert, triangle_normals
 from .ops.trace import WideBVH, trace_rays, trace_rays_brute
 
 __all__ = ["render_ldr", "render_ldr_brute", "render_frame_u8",
-           "trace_tiles_bounded"]
+           "trace_tiles_bounded", "trace_tiles_temporal"]
 
 # chunk = one 64×128 pixel tile (spatially coherent, VPU-friendly shape)
 _TILE_H = 64
@@ -187,6 +187,84 @@ def trace_tiles_bounded(
     d_sel = d.reshape(-1, 3)[safe]
     rt, rnx, rny, rnz, rtri = trace_rays_pallas(
         qnodes, o_sel, d_sel, leaf_k=leaf_k, interpret=interpret
+    )
+
+    def patch(plane, rep):
+        flat = plane.ravel()
+        return flat.at[safe].set(
+            jnp.where(valid, rep, flat[safe])
+        ).reshape(plane.shape)
+
+    t = patch(t, rt)
+    nx, ny, nz = patch(nx, rnx), patch(ny, rny), patch(nz, rnz)
+    tri = patch(tri, rtri)
+    t = jnp.where(tri >= 0, t, _PINF)
+    return t, nx, ny, nz, tri, n_repair
+
+
+@partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "leaf_k",
+                                   "repair_cap", "interpret"))
+def trace_tiles_temporal(
+    qnodes: jax.Array,
+    cam_pos: jax.Array,
+    cam_quat: jax.Array,
+    width: int,
+    height: int,
+    prev_t: jax.Array,
+    prev_tri: jax.Array,
+    jitter_seed,
+    fov_degrees: float = 70.0,
+    leaf_k: int = 1,
+    repair_cap: int = 16384,
+    interpret: bool = False,
+):
+    """Jittered primary trace bounded by the PREVIOUS same-camera frame's
+    depth — the progressive-accumulation accelerator (exact output).
+
+    In progressive mode successive samples share the camera; only the
+    subpixel jitter moves. The previous sample's per-tile max depth (tiles
+    with any miss lane stay unbounded) seeds the kernel's best-t/pop-cull
+    bound, pruning everything behind the visible surface, with the same
+    repair guarantee as trace_tiles_bounded: a no-hit lane under a finite
+    bound is re-traced unbounded through the ray-buffer kernel using
+    bit-identical jittered rays (ops.camera.generate_rays_jittered ==
+    the kernel's in-kernel PRNG). Zero probe cost — the bound source is
+    the frame you already rendered. Returns (t,nx,ny,nz,tri,n_repair).
+    """
+    from .ops.camera import generate_rays_jittered
+    from .ops.pallas.traverse import (
+        INF as _PINF,
+        TILE,
+        trace_rays_pallas,
+        trace_tiles_pallas,
+    )
+
+    pw, ph = -(-width // TILE) * TILE, -(-height // TILE) * TILE
+    nty, ntx = ph // TILE, pw // TILE
+
+    tv = jnp.where(prev_tri >= 0, prev_t, _PINF)
+    tv = jnp.pad(tv, ((0, ph - height), (0, pw - width)))
+    pooled = tv.reshape(nty, TILE, ntx, TILE).max(axis=(1, 3))
+    bounds = jnp.where(pooled >= _PINF, _PINF,
+                       pooled * jnp.float32(1.05) + jnp.float32(0.02))
+
+    t, nx, ny, nz, tri = trace_tiles_pallas(
+        qnodes, cam_pos, cam_quat, width, height, fov_degrees,
+        jitter=True, jitter_seed=jitter_seed, leaf_k=leaf_k,
+        tbounds=bounds, interpret=interpret,
+    )[:5]
+
+    bpix = jnp.repeat(jnp.repeat(bounds, TILE, 0), TILE, 1)[:height, :width]
+    need = (tri < 0) & (bpix < _PINF)
+    n_repair = jnp.sum(need)
+    (idx,) = jnp.nonzero(need.ravel(), size=repair_cap, fill_value=-1)
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    o, d = generate_rays_jittered(width, height, cam_pos, cam_quat,
+                                  jitter_seed, fov_degrees)
+    rt, rnx, rny, rnz, rtri = trace_rays_pallas(
+        qnodes, o.reshape(-1, 3)[safe], d.reshape(-1, 3)[safe],
+        leaf_k=leaf_k, interpret=interpret,
     )
 
     def patch(plane, rep):

@@ -145,3 +145,31 @@ def test_sah_clustered_pipeline_parity():
     assert (tri == rtri).all()
     hit = rtri >= 0
     assert np.allclose(t[hit], rt[hit], rtol=1e-5, atol=1e-6)
+
+
+def test_temporal_bounds_exact_across_samples():
+    """trace_tiles_temporal (previous-frame depth bounds + repair) must give
+    exactly the plain jittered trace for every successive seed — the
+    progressive accumulation is then identical with and without the
+    accelerator."""
+    from raytracer_tpu.render import trace_tiles_temporal
+
+    tris, qn = _scene_qnodes()
+    w, h = 96, 64
+    prev = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True,
+                              jitter=True, jitter_seed=1)
+    pt, ptri = prev[0], prev[4]
+    for seed in (2, 3):
+        ref = trace_tiles_pallas(qn, CAM_POS, CAM_QUAT, w, h, interpret=True,
+                                 jitter=True, jitter_seed=seed)
+        t, nx, ny, nz, tri, nrep = trace_tiles_temporal(
+            qn, CAM_POS, CAM_QUAT, w, h, pt, ptri, seed,
+            interpret=True, repair_cap=1024,
+        )
+        rtri = np.asarray(ref[4])
+        assert (np.asarray(tri) == rtri).all(), \
+            f"seed {seed}: {(np.asarray(tri) != rtri).sum()} mismatches"
+        hit = rtri >= 0
+        assert np.allclose(np.asarray(t)[hit], np.asarray(ref[0])[hit],
+                           rtol=1e-6, atol=1e-6)
+        pt, ptri = t, tri
