@@ -104,7 +104,10 @@ def generate_rays_jittered(width, height, cam_pos, cam_quat, seed,
         [u * aspect, jnp.broadcast_to(v, (height, width)),
          jnp.full((height, width), -focal)], axis=-1
     )
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # rsqrt-multiply, NOT d/||d||: the Pallas kernel normalizes with
+    # jax.lax.rsqrt and the temporal-repair path needs bit-identical
+    # directions so a razor-edge repair lane hits the same triangle
+    d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True))
     d = rotate_by_quat(d, jnp.asarray(cam_quat, jnp.float32))
     o = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), (height, width, 3))
     return o, d

@@ -48,7 +48,8 @@ from .lbvh import (
 )
 from .morton import build_morton_and_sort
 
-__all__ = ["ClusteredScene", "build_lbvh2_clustered", "build_sah2_clustered"]
+__all__ = ["ClusteredScene", "build_lbvh2_clustered", "build_sah2_clustered",
+           "refit_lbvh2_clustered"]
 
 
 class ClusteredScene(NamedTuple):
@@ -125,6 +126,57 @@ def build_lbvh2_clustered(triangles: jax.Array, leaf_size: int = 4) -> Clustered
     if leaf_size < 1:
         raise ValueError("leaf_size must be >= 1")
     return _build_clustered_impl(triangles, n, leaf_size)
+
+
+@partial(jax.jit, static_argnames=("leaf_size", "num_sweeps"))
+def _refit_clustered_impl(bvh: LBVH2, tri_order: jax.Array,
+                          triangles: jax.Array, leaf_size: int,
+                          num_sweeps: int):
+    k = leaf_size
+    num_nodes = bvh.num_nodes
+    num_internal = bvh.num_internal
+    c = num_internal + 1
+    n = triangles.shape[0]
+
+    tris_sorted = triangles[tri_order.astype(jnp.int32)]
+    tmn, tmx = _tri_bounds(tris_sorted)
+    pad = c * k - n
+    pmn = jnp.pad(tmn, ((0, pad), (0, 0)), constant_values=jnp.inf)
+    pmx = jnp.pad(tmx, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    # leaf ℓ (node row num_internal+ℓ) carries cluster index meta[ℓ]&mask;
+    # gather each leaf's cluster union (SAH trees emit leaves in pre-order,
+    # not cluster order, so the indirection is required)
+    cl_mn = jnp.min(pmn.reshape(c, k, 3), axis=1)
+    cl_mx = jnp.max(pmx.reshape(c, k, 3), axis=1)
+    cidx = (bvh.meta[num_internal:] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    leaf_bounds = f16.pack_bounds_conservative(cl_mn[cidx], cl_mx[cidx])
+
+    bounds = jnp.zeros((num_nodes, 3), jnp.uint32).at[num_internal:].set(leaf_bounds)
+    if num_internal > 0:
+        bounds = _bounds_fixed_point(bounds, bvh.left, bvh.right,
+                                     num_internal, num_sweeps)
+    return bvh._replace(bounds_u32=bounds), tris_sorted
+
+
+def refit_lbvh2_clustered(
+    cs: ClusteredScene, triangles: jax.Array, num_sweeps: int | None = None
+) -> ClusteredScene:
+    """Refit a packed-cluster tree to deformed geometry, keeping topology
+    AND the cluster assignment (the [cK,(c+1)K) indexing contract survives —
+    only bounds move). The dynamic-scene path for clustered trees (verdict
+    r2 #3): cluster unions from the moved triangles, then the same
+    deterministic union sweeps as ops/lbvh.py::refit_lbvh2.
+
+    ``triangles`` is the deformed geometry in ORIGINAL order (the permutation
+    is re-applied here). For SAH trees pass ``num_sweeps=height+2`` from the
+    build; default is the Morton-tree static height bound.
+    """
+    c = cs.bvh2.num_internal + 1
+    sweeps = num_sweeps if num_sweeps is not None else _static_height_bound(c)
+    bvh2, tris_sorted = _refit_clustered_impl(
+        cs.bvh2, cs.tri_order, triangles, cs.leaf_size, sweeps
+    )
+    return ClusteredScene(bvh2, tris_sorted, cs.tri_order, cs.leaf_size)
 
 
 def build_sah2_clustered(

@@ -26,15 +26,18 @@ The TPU-native replacement for the WGSL megakernel's SIMT traversal
   (tools/mb_results_r2.md). DMA start/wait pairs are unconditional per
   iteration (drained streams fetch node 0 as a harmless dummy) — Mosaic
   mishandles conditionally-skipped DMAs across while_loop iterations.
-* **Persistent tile queues** (the round-2.5 redesign): the grid-per-tile
-  formulation left ~40% of stream slots idle because the NS tiles of a
-  program finish at different times and the program spins until the slowest
-  drains. Instead the kernel runs as ONE program whose streams each own a
-  statically interleaved queue of tiles (stream s gets tiles s, s+NS, …).
-  When a stream's stack drains it writes its finished tile to HBM with an
-  async copy (double-buffered through a VMEM staging slot), generates the
-  rays of its next queued tile in-kernel, and keeps popping — streams only
-  idle in the global tail.
+* **Persistent tile queue** (round 2.5, made dynamic in round 3): the
+  grid-per-tile formulation left ~40% of stream slots idle because the NS
+  tiles of a program finish at different times and the program spins until
+  the slowest drains. Instead the kernel runs as ONE program whose streams
+  pop tiles from a SHARED next-tile counter in SMEM (race-free: the streams
+  are round-robined in one instruction stream). When a stream's stack
+  drains it writes its finished tile to HBM with an async copy
+  (double-buffered through a VMEM staging slot), generates the rays of its
+  next queued tile in-kernel, and keeps popping — streams only idle in the
+  global tail of ≤ NS−1 tiles. (Round 2's static s, s+NS, … interleave
+  re-created the imbalance at queue granularity: a stream that drew an
+  expensive run of tiles finished its queue late while the others spun.)
 * Ray generation (renderer.wgsl:364-396) is fused into the kernel (pixel
   coords from the tile id + iota), and hit state lives in VMEM scratch, so
   per-ray HBM traffic is exactly the 6 packed output planes.
@@ -97,7 +100,10 @@ _SYNC_OUT = os.environ.get("RT_SYNC_OUT", "0") == "1"  # debug: wait out-DMAs ea
 _MAX_NODES = 1 << 24      # refs are exact integer-valued f32 (ADVICE.md r1)
 
 # istate_scr rows (SMEM int32 (8, NS))
-_SP, _PEND, _VISITS, _CURTILE, _BUF, _DMA0, _DMA1 = range(7)
+_SP, _PEND, _VISITS, _CURTILE, _BUF, _DMA0, _DMA1, _NEXT = range(8)
+# row _NEXT column 0 holds the SHARED next-tile counter of the persistent
+# kernel's dynamic work queue (all NS streams pop from it; safe because the
+# streams are round-robined in one instruction stream — no concurrency)
 
 
 # ---------------------------------------------------------------------------
@@ -152,12 +158,21 @@ def make_qnodes(
     leaf_bit = jnp.int32(1 << 30)
     is_leaf = (cref & leaf_bit) != 0
     first = (cref & (leaf_bit - 1)) * k_sz     # first triangle row of the leaf
+    # The kernel's K=1 leaf path derives the reported triangle id as
+    # -(enc)-1 and never uses the row for lookups (vertices are inlined in
+    # the same record), so when a permutation is in play the ORIGINAL id is
+    # baked into the encoding here — otherwise make_qnodes(..., tri_ids=perm,
+    # leaf_size=1) would silently report permuted rows (ADVICE r2).
+    if k_sz == 1 and tri_ids is not None:
+        leaf_row = tri_ids[jnp.clip(first, 0, n_tris - 1)].astype(jnp.float32)
+    else:
+        leaf_row = first.astype(jnp.float32)
     enc = jnp.where(
         cref < 0,
         jnp.float32(EMPTY_REF),
         jnp.where(
             is_leaf,
-            -(first.astype(jnp.float32) + 1.0),
+            -(leaf_row + 1.0),
             cref.astype(jnp.float32),
         ),
     )
@@ -570,8 +585,8 @@ def _persistent_kernel(
     sems,               # DMA (NS,) record-fetch
     osems,              # DMA (NS, 2) out-copy per staging buffer
 ):
-    """Primary-ray kernel: ONE program, NS persistent streams over a static
-    interleaved tile queue (stream s traverses tiles s, s+NS, …)."""
+    """Primary-ray kernel: ONE program, NS persistent streams popping tiles
+    from a shared dynamic work queue (SMEM next-tile counter)."""
     f32 = jnp.float32
 
     ox, oy, oz = cam_ref[0], cam_ref[1], cam_ref[2]
@@ -685,6 +700,7 @@ def _persistent_kernel(
         )
 
     # prologue: first tile per stream (static python guard for tiny frames)
+    istate_scr[_NEXT, 0] = jnp.int32(min(NS, num_tiles))
     for s in range(NS):
         istate_scr[_PEND, s] = jnp.int32(0)
         istate_scr[_BUF, s] = jnp.int32(0)
@@ -721,7 +737,12 @@ def _persistent_kernel(
                     istate_scr[flag_row, s] = jnp.int32(1)
         istate_scr[_BUF, s] = 1 - b
 
-        nxt = tile + NS
+        # dynamic work queue: pop the shared next-tile counter (round-2's
+        # static s, s+NS, … interleave left ~40% of stream slots idle once a
+        # stream drew an expensive run of tiles; the shared counter bounds
+        # idling to the global tail of ≤ NS−1 tiles)
+        nxt = istate_scr[_NEXT, 0]
+        istate_scr[_NEXT, 0] = nxt + 1
         istate_scr[_CURTILE, s] = nxt
 
         @pl.when(nxt < num_tiles)

@@ -246,18 +246,27 @@ class PathTracer:
                 "leaf_size=1 on CPU backends"
             )
         if self._use_pallas:
-            from .ops.pallas.entry import compute_tile_entries
+            # Per-frame tile-entry computation was measured a ~2 ms/frame
+            # net LOSS in round 3 (tools/mb_entries.py — it saves ~1 visit
+            # on tiles that average ~70); opt back in via use_tile_entries.
+            entries = None
+            if getattr(self, "use_tile_entries", False):
+                from .ops.pallas.entry import compute_tile_entries
 
-            # the kernel pads to its program granularity internally and
-            # crops, preserving the true w/h aspect
-            entries = compute_tile_entries(
-                self._wide, pos, quat, w, h, tile=TILE,
-                fov_degrees=self.fov_degrees,
-            )
-            t, nx, ny, nz, tri = trace_tiles_pallas(
-                self._qnodes, pos, quat, w, h, self.fov_degrees,
-                entries=entries, leaf_k=self.leaf_size,
-            )[:5]
+                entries = compute_tile_entries(
+                    self._wide, pos, quat, w, h, tile=TILE,
+                    fov_degrees=self.fov_degrees,
+                )
+            if entries is None:
+                # AOT fast path: one exported program per (W, H, K, M
+                # bucket) — a fresh process deserializes in ~0 s instead of
+                # re-lowering the kernel for ~37 s (ops/pallas/aot.py)
+                t, nx, ny, nz, tri = self._trace_frame_aot(pos, quat)
+            else:
+                t, nx, ny, nz, tri = trace_tiles_pallas(
+                    self._qnodes, pos, quat, w, h, self.fov_degrees,
+                    entries=entries, leaf_k=self.leaf_size,
+                )[:5]
             normals = jnp.stack([nx, ny, nz], axis=-1)
             rgb = shade_lambert(normals, tri >= 0)
             return rgb, t, tri
@@ -266,6 +275,28 @@ class PathTracer:
             self._wide, self._tris_dev, pos, quat, w, h, self.fov_degrees
         )
         return rgb, t, tri
+
+    def _trace_frame_aot(self, pos, quat):
+        """Primary-ray trace through the AOT export cache. The qnodes array
+        is bucket-padded so one export serves every scene whose record count
+        lands in the same bucket."""
+        from .ops.pallas.aot import cached_export, pad_qnodes
+
+        if getattr(self, "_qnodes_padded_src", None) is not self._qnodes:
+            self._qnodes_padded = pad_qnodes(self._qnodes)
+            self._qnodes_padded_src = self._qnodes
+        qn = self._qnodes_padded
+        w, h, k = self.width, self.height, self.leaf_size
+        fov = self.fov_degrees
+        call = cached_export(
+            f"pt_frame_{w}x{h}_k{k}_fov{fov:g}",
+            lambda: (lambda qn_, p_, q_: trace_tiles_pallas(
+                qn_, p_, q_, w, h, fov, leaf_k=k)[:5]),
+            (jax.ShapeDtypeStruct(qn.shape, qn.dtype),
+             jax.ShapeDtypeStruct((3,), jnp.float32),
+             jax.ShapeDtypeStruct((4,), jnp.float32)),
+        )
+        return call(qn, pos, quat)
 
     def render(self) -> jax.Array:
         """One frame → rgba8 framebuffer (H,W,4) — the storage-texture image
@@ -452,7 +483,12 @@ class PathTracer:
             parent=jnp.asarray(data["bvh2_parent"]),
         )
         self._cluster = None
-        if "tri_order" in data:
+        if "tri_order" not in data:
+            # legacy/parity checkpoint (single-triangle leaves): reset
+            # leaf_size so _make_qnodes and the render path agree on K=1
+            # even when the tracer was constructed with a clustered default
+            self.leaf_size = 1
+        else:
             from .ops.cluster import ClusteredScene
 
             self.leaf_size = int(data["leaf_size"][0])

@@ -93,6 +93,47 @@ def render_ldr_brute(
     return rgb, t, tri
 
 
+def _repair_unbounded(qnodes, o_flat, d_flat, planes, need, repair_cap,
+                      leaf_k, interpret):
+    """Re-trace every lane in ``need`` unbounded, ``repair_cap`` lanes per
+    batch, looping until all are examined — exact regardless of the cap
+    (a single truncated batch would leave silent hole pixels, ADVICE r2).
+
+    ``planes`` is the (t,nx,ny,nz,tri) tuple of (H,W) images; returns the
+    patched tuple plus the total repair count."""
+    from .ops.pallas.traverse import trace_rays_pallas
+
+    t, nx, ny, nz, tri = planes
+    shape = t.shape
+    need0 = need.ravel()
+    state = (t.ravel(), nx.ravel(), ny.ravel(), nz.ravel(), tri.ravel(),
+             jnp.zeros(t.size, jnp.bool_))
+
+    def cond(st):
+        return jnp.any(need0 & ~st[5])
+
+    def body(st):
+        tf, nxf, nyf, nzf, trif, ex = st
+        (idx,) = jnp.nonzero(need0 & ~ex, size=repair_cap, fill_value=-1)
+        valid = idx >= 0
+        safe = jnp.maximum(idx, 0)
+        rt, rnx, rny, rnz, rtri = trace_rays_pallas(
+            qnodes, o_flat[safe], d_flat[safe], leaf_k=leaf_k,
+            interpret=interpret,
+        )
+
+        def patch(f, rep):
+            return f.at[safe].set(jnp.where(valid, rep, f[safe]))
+
+        ex = ex.at[safe].set(valid | ex[safe])
+        return (patch(tf, rt), patch(nxf, rnx), patch(nyf, rny),
+                patch(nzf, rnz), patch(trif, rtri), ex)
+
+    tf, nxf, nyf, nzf, trif, _ = jax.lax.while_loop(cond, body, state)
+    out = tuple(a.reshape(shape) for a in (tf, nxf, nyf, nzf, trif))
+    return out, jnp.sum(need0)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "fov_degrees", "leaf_k",
                                    "coarse_stride", "repair_cap", "interpret",
                                    "_bound_scale", "_bound_pad"))
@@ -127,9 +168,10 @@ def trace_tiles_bounded(
        and leaf tests on interior tiles).
     3. **Repair**: a lane that reports no hit under a *finite* bound might
        truly hit beyond it (a bound underestimate — e.g. a full-res ray
-       threading a gap the coarse grid missed). Those rays (first
-       ``repair_cap``; the count is returned for auditing) are re-traced
-       unbounded through the ray-buffer kernel and scattered back.
+       threading a gap the coarse grid missed). Those rays are re-traced
+       unbounded through the ray-buffer kernel in batches of ``repair_cap``
+       until none remain (the total count is returned for auditing), then
+       scattered back.
 
     A found hit under bound ``B`` is always the true nearest (traversal
     visits every node with tmin below the running best-t), so only
@@ -139,7 +181,6 @@ def trace_tiles_bounded(
     from .ops.pallas.traverse import (
         INF as _PINF,
         TILE,
-        trace_rays_pallas,
         trace_tiles_pallas,
     )
 
@@ -174,30 +215,15 @@ def trace_tiles_bounded(
         entries=entries, leaf_k=leaf_k, tbounds=bounds, interpret=interpret,
     )[:5]
 
-    # -- pass 3: repair no-hit lanes of bounded tiles --
+    # -- pass 3: repair no-hit lanes of bounded tiles (looped: exact even
+    # when more than repair_cap lanes need it) --
     bpix = jnp.repeat(jnp.repeat(bounds, TILE, 0), TILE, 1)[:height, :width]
     need = (tri < 0) & (bpix < _PINF)
-    n_repair = jnp.sum(need)
-    (idx,) = jnp.nonzero(need.ravel(), size=repair_cap, fill_value=-1)
-    valid = idx >= 0
-    safe = jnp.maximum(idx, 0)
-
     o, d = generate_rays(width, height, cam_pos, cam_quat, fov_degrees)
-    o_sel = o.reshape(-1, 3)[safe]
-    d_sel = d.reshape(-1, 3)[safe]
-    rt, rnx, rny, rnz, rtri = trace_rays_pallas(
-        qnodes, o_sel, d_sel, leaf_k=leaf_k, interpret=interpret
+    (t, nx, ny, nz, tri), n_repair = _repair_unbounded(
+        qnodes, o.reshape(-1, 3), d.reshape(-1, 3), (t, nx, ny, nz, tri),
+        need, repair_cap, leaf_k, interpret,
     )
-
-    def patch(plane, rep):
-        flat = plane.ravel()
-        return flat.at[safe].set(
-            jnp.where(valid, rep, flat[safe])
-        ).reshape(plane.shape)
-
-    t = patch(t, rt)
-    nx, ny, nz = patch(nx, rnx), patch(ny, rny), patch(nz, rnz)
-    tri = patch(tri, rtri)
     t = jnp.where(tri >= 0, t, _PINF)
     return t, nx, ny, nz, tri, n_repair
 
@@ -235,7 +261,6 @@ def trace_tiles_temporal(
     from .ops.pallas.traverse import (
         INF as _PINF,
         TILE,
-        trace_rays_pallas,
         trace_tiles_pallas,
     )
 
@@ -256,26 +281,12 @@ def trace_tiles_temporal(
 
     bpix = jnp.repeat(jnp.repeat(bounds, TILE, 0), TILE, 1)[:height, :width]
     need = (tri < 0) & (bpix < _PINF)
-    n_repair = jnp.sum(need)
-    (idx,) = jnp.nonzero(need.ravel(), size=repair_cap, fill_value=-1)
-    valid = idx >= 0
-    safe = jnp.maximum(idx, 0)
     o, d = generate_rays_jittered(width, height, cam_pos, cam_quat,
                                   jitter_seed, fov_degrees)
-    rt, rnx, rny, rnz, rtri = trace_rays_pallas(
-        qnodes, o.reshape(-1, 3)[safe], d.reshape(-1, 3)[safe],
-        leaf_k=leaf_k, interpret=interpret,
+    (t, nx, ny, nz, tri), n_repair = _repair_unbounded(
+        qnodes, o.reshape(-1, 3), d.reshape(-1, 3), (t, nx, ny, nz, tri),
+        need, repair_cap, leaf_k, interpret,
     )
-
-    def patch(plane, rep):
-        flat = plane.ravel()
-        return flat.at[safe].set(
-            jnp.where(valid, rep, flat[safe])
-        ).reshape(plane.shape)
-
-    t = patch(t, rt)
-    nx, ny, nz = patch(nx, rnx), patch(ny, rny), patch(nz, rnz)
-    tri = patch(tri, rtri)
     t = jnp.where(tri >= 0, t, _PINF)
     return t, nx, ny, nz, tri, n_repair
 

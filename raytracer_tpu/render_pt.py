@@ -80,7 +80,8 @@ def _normals_for(tris: jax.Array, tri_idx: jax.Array, d: jax.Array) -> jax.Array
     return n * jnp.where(flip == 0.0, 1.0, flip)
 
 
-def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
+def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
+              interpret: bool = False):
     """NEE shadow query: True where the ray hits anything. Uses the Pallas
     any-hit mode (first accepted hit terminates the lane; streams drain
     early once fully occluded — verdict r1 #5) when records are supplied."""
@@ -88,7 +89,7 @@ def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
         from .ops.pallas.traverse import trace_rays_pallas
 
         _, _, _, _, tri = trace_rays_pallas(qnodes, o, d, any_hit=True,
-                                            leaf_k=leaf_k)
+                                            leaf_k=leaf_k, interpret=interpret)
         return tri >= 0
     if brute:
         _, tri = trace_rays_brute(tris, o, d)
@@ -97,7 +98,8 @@ def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
     return tri >= 0
 
 
-def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
+def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
+           interpret: bool = False):
     """One wave: closest hit + ray-facing normals.
 
     Uses the Pallas ray-buffer kernel when supernode records are supplied
@@ -106,7 +108,8 @@ def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
     if qnodes is not None and not brute:
         from .ops.pallas.traverse import trace_rays_pallas
 
-        t, nx, ny, nz, tri = trace_rays_pallas(qnodes, o, d, leaf_k=leaf_k)
+        t, nx, ny, nz, tri = trace_rays_pallas(qnodes, o, d, leaf_k=leaf_k,
+                                               interpret=interpret)
         n = jnp.stack([nx, ny, nz], axis=-1)
         flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
         n = n * jnp.where(flip == 0.0, 1.0, flip)
@@ -121,7 +124,7 @@ def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1):
 @partial(
     jax.jit,
     static_argnames=("width", "height", "bounces", "fov_degrees", "brute",
-                     "compact", "leaf_k"),
+                     "compact", "leaf_k", "interpret"),
 )
 def pt_sample_frame(
     wide: WideBVH,
@@ -137,6 +140,7 @@ def pt_sample_frame(
     qnodes: jax.Array | None = None,
     compact: bool = False,
     leaf_k: int = 1,
+    interpret: bool = False,
 ):
     """One progressive sample: jittered primary rays + path-traced bounces.
 
@@ -179,7 +183,7 @@ def pt_sample_frame(
     pix = jnp.arange(r, dtype=jnp.int32)   # ray → pixel (identity until compacted)
 
     for b in range(bounces):
-        t, tri, n = _trace(wide, qnodes, tris, o, d, brute, leaf_k)
+        t, tri, n = _trace(wide, qnodes, tris, o, d, brute, leaf_k, interpret)
         hit = (tri >= 0) & alive
         miss = ~(tri >= 0) & alive
 
@@ -193,7 +197,7 @@ def pt_sample_frame(
 
         # next-event estimation: any-hit shadow ray toward the sun
         occ = _occluded(wide, qnodes, tris, p, jnp.broadcast_to(sun, p.shape),
-                        brute, leaf_k)
+                        brute, leaf_k, interpret)
         lit = ~occ
         ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
         direct = base[None, :] * (ndotl * lit)[:, None]

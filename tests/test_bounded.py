@@ -89,6 +89,22 @@ def test_bounded_repair_fixes_sabotaged_bounds():
     _assert_same_image(ref, (t, tri))
 
 
+def test_bounded_repair_loops_past_cap():
+    """More repairs needed than repair_cap: the batched repair loop must
+    still restore the exact image (ADVICE r2: a single truncated batch
+    left silent hole pixels)."""
+    tris, qn = _scene_qnodes()
+    w, h = 160, 160
+    pos = np.array([0.0, 0.0, 1.2], np.float32)
+    ref = trace_tiles_pallas(qn, pos, CAM_QUAT, w, h, interpret=True)
+    t, nx, ny, nz, tri, nrep = trace_tiles_bounded(
+        qn, pos, CAM_QUAT, w, h, interpret=True, repair_cap=64,
+        _bound_scale=0.5, _bound_pad=0.0,
+    )
+    assert int(nrep) > 64, "setup: must exceed one repair batch"
+    _assert_same_image(ref, (t, tri))
+
+
 @pytest.mark.parametrize("k", [8])
 def test_bounded_packed_leaves(k):
     tris, qn = _scene_qnodes(leaf_k=k)
@@ -145,6 +161,87 @@ def test_sah_clustered_pipeline_parity():
     assert (tri == rtri).all()
     hit = rtri >= 0
     assert np.allclose(t[hit], rt[hit], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not _has_sah_clustered,
+                    reason="libbvhtool.so with bvh_build_sah_clustered not built")
+def test_sah_clustered_k32_parity():
+    """The SHIPPED production configuration — SAH clusters at K=32
+    (fast_build_options / bench default) — pinned off-TPU in interpret
+    mode (verdict r2 #8: K=32 was previously exercised only on TPU)."""
+    from raytracer_tpu.render import render_ldr_brute
+
+    tris_np = procgen.make_icosphere(2)[:500]  # partial tail cluster at K=32
+    sc = Scene().set_triangles(tris_np)
+    sc._normalize_enabled, sc._normalize_mode = True, "cube"
+    sc.normalize_mesh()
+    tris = jnp.asarray(sc.triangles)
+    k = 32
+    cs, height = build_sah2_clustered(tris, leaf_size=k)
+    wide = make_wide_bvh(collapse_lbvh2_to_bvh4(cs.bvh2, sweeps=height + 2))
+    qn = make_qnodes(wide, cs.tris_sorted, tri_ids=cs.tri_order, leaf_size=k)
+    w, h = 64, 64
+    t, nx, ny, nz, tri = trace_tiles_pallas(
+        qn, CAM_POS, CAM_QUAT, w, h, interpret=True, leaf_k=k
+    )[:5]
+    _, rt, rtri = render_ldr_brute(tris, CAM_POS, CAM_QUAT, w, h)
+    t, tri, rt, rtri = map(np.asarray, (t, tri, rt, rtri))
+    assert (tri == rtri).all()
+    hit = rtri >= 0
+    assert np.allclose(t[hit], rt[hit], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("sah", [False, True])
+def test_clustered_refit_deform_parity(sah):
+    """Deform the geometry, refit the packed-cluster tree (topology + cluster
+    assignment kept, bounds recomputed), and re-trace: the image must match
+    the brute-force oracle on the deformed triangles exactly (verdict r2 #3
+    — the dynamic-scene path for clustered trees)."""
+    from raytracer_tpu.ops.cluster import refit_lbvh2_clustered
+    from raytracer_tpu.render import render_ldr_brute
+
+    if sah and not _has_sah_clustered:
+        pytest.skip("libbvhtool.so with bvh_build_sah_clustered not built")
+
+    tris_np = procgen.make_icosphere(2)
+    sc = Scene().set_triangles(tris_np)
+    sc._normalize_enabled, sc._normalize_mode = True, "cube"
+    sc.normalize_mesh()
+    tris = jnp.asarray(sc.triangles)
+    k = 8
+    if sah:
+        cs, height = build_sah2_clustered(tris, leaf_size=k)
+        sweeps = height + 2
+    else:
+        cs = build_lbvh2_clustered(tris, leaf_size=k)
+        sweeps = None
+
+    # smooth displacement along the normal direction — a real deformation,
+    # not a rigid move, so stale bounds would definitely miss
+    t = np.asarray(tris)
+    deformed = t + 0.15 * np.sin(3.0 * t[..., :1]) * np.cos(2.0 * t[..., 1:2])
+    deformed = jnp.asarray(deformed.astype(np.float32))
+
+    cs2 = refit_lbvh2_clustered(cs, deformed, num_sweeps=sweeps)
+    # cluster contract intact: same order, same topology
+    np.testing.assert_array_equal(np.asarray(cs2.tri_order),
+                                  np.asarray(cs.tri_order))
+    np.testing.assert_array_equal(np.asarray(cs2.bvh2.meta),
+                                  np.asarray(cs.bvh2.meta))
+
+    bvh4 = (collapse_lbvh2_to_bvh4(cs2.bvh2, sweeps=sweeps) if sah
+            else collapse_lbvh2_to_bvh4(cs2.bvh2))
+    wide = make_wide_bvh(bvh4)
+    qn = make_qnodes(wide, cs2.tris_sorted, tri_ids=cs2.tri_order, leaf_size=k)
+    w, h = 96, 64
+    t_, nx, ny, nz, tri = trace_tiles_pallas(
+        qn, CAM_POS, CAM_QUAT, w, h, interpret=True, leaf_k=k
+    )[:5]
+    _, rt, rtri = render_ldr_brute(deformed, CAM_POS, CAM_QUAT, w, h)
+    t_, tri, rt, rtri = map(np.asarray, (t_, tri, rt, rtri))
+    assert (tri == rtri).all(), f"{(tri != rtri).sum()} mismatches after refit"
+    hit = rtri >= 0
+    assert np.allclose(t_[hit], rt[hit], rtol=1e-5, atol=1e-6)
 
 
 def test_temporal_bounds_exact_across_samples():

@@ -136,6 +136,57 @@ def test_pt_spp_sharded(scene):
     assert np.isfinite(out).all() and out.max() > 0
 
 
+def test_cameras_sharded_pallas_equals_xla(scene):
+    """Config-5 production path: the qnodes (Pallas) camera batch must match
+    the XLA fallback per camera (verdict r2 #3)."""
+    from raytracer_tpu.ops.pallas.traverse import make_qnodes
+
+    wide, tris = scene
+    qn = make_qnodes(wide, tris)
+    mesh = make_mesh(4)
+    c = 4
+    pos = np.tile(CAM_POS, (c, 1)).astype(np.float32)
+    pos[:, 0] = np.linspace(-0.5, 0.5, c)
+    quat = np.tile(CAM_QUAT, (c, 1)).astype(np.float32)
+    out_x = render_cameras_sharded(wide, tris, pos, quat, 64, 64, mesh)
+    out_p = render_cameras_sharded(
+        wide, tris, pos, quat, 64, 64, mesh, qnodes=qn, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-6)
+
+
+def test_pt_spp_sharded_pallas_equals_mean(scene):
+    """Multi-chip PT through the Pallas ray-buffer kernel == the mean of the
+    single-chip PT samples traced through the same kernel (verdict r2 #4)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.pallas.traverse import make_qnodes
+    from raytracer_tpu.parallel.mesh import render_pt_spp_sharded
+    from raytracer_tpu.render_pt import pt_sample_frame
+
+    wide, tris = scene
+    qn = make_qnodes(wide, tris)
+    mesh = make_mesh(4)
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    out = render_pt_spp_sharded(
+        wide, tris, CAM_POS, CAM_QUAT, seeds, 32, 32, mesh, bounces=1,
+        qnodes=qn, interpret=True,
+    )
+    ref = np.mean(
+        [
+            np.asarray(
+                pt_sample_frame(
+                    wide, tris, CAM_POS, CAM_QUAT, jax.random.key(s), 32, 32,
+                    bounces=1, qnodes=qn, interpret=True,
+                )
+            )
+            for s in range(4)
+        ],
+        axis=0,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
 def test_make_mesh_rejects_overprovision():
     with pytest.raises(ValueError):
         make_mesh(jax.device_count() + 1)
