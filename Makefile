@@ -1,6 +1,6 @@
 # Workflow targets (the package.json scripts analog, package.json:5-11)
 
-.PHONY: dev api start build test bench bench-quick native clean
+.PHONY: dev api start build test test-quick bench bench-quick native clean
 
 dev:            ## headless app with orbiting camera
 	python apps/main.py --orbit
@@ -17,8 +17,11 @@ native:         ## build bin/bvh_convert + lib/libbvhtool.so
 native-bench:   ## 100x converter loop (test.sh analog)
 	raytracer_tpu/native/bench.sh
 
-test:
+test:            ## full suite (exhaustive; ~45 min on a 1-CPU host)
 	python -m pytest tests/ -x -q
+
+test-quick:      ## fast tier only (skips tests marked 'full'; < 5 min)
+	python -m pytest tests/ -x -q -m "not full"
 
 bench:
 	python bench.py

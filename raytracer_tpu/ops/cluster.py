@@ -143,18 +143,45 @@ def _refit_clustered_impl(bvh: LBVH2, tri_order: jax.Array,
     pad = c * k - n
     pmn = jnp.pad(tmn, ((0, pad), (0, 0)), constant_values=jnp.inf)
     pmx = jnp.pad(tmx, ((0, pad), (0, 0)), constant_values=-jnp.inf)
-    # leaf ℓ (node row num_internal+ℓ) carries cluster index meta[ℓ]&mask;
-    # gather each leaf's cluster union (SAH trees emit leaves in pre-order,
-    # not cluster order, so the indirection is required)
     cl_mn = jnp.min(pmn.reshape(c, k, 3), axis=1)
     cl_mx = jnp.max(pmx.reshape(c, k, 3), axis=1)
-    cidx = (bvh.meta[num_internal:] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-    leaf_bounds = f16.pack_bounds_conservative(cl_mn[cidx], cl_mx[cidx])
 
-    bounds = jnp.zeros((num_nodes, 3), jnp.uint32).at[num_internal:].set(leaf_bounds)
+    # Layout-agnostic: Morton trees put leaves in rows [num_internal, 2c-1)
+    # but the native SAH builder emits PRE-ORDER rows (leaves interleaved
+    # with internals), so leaf rows must be identified by LEAF_FLAG in meta
+    # and internal rows by its absence — never by row position.
+    leaf_mask = (bvh.meta & jnp.uint32(LEAF_FLAG)) != 0
+    cidx = jnp.where(
+        leaf_mask, (bvh.meta & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32), 0
+    )
+    leaf_bounds = f16.pack_bounds_conservative(cl_mn[cidx], cl_mx[cidx])
+    bounds = jnp.where(leaf_mask[:, None], leaf_bounds,
+                       jnp.zeros((num_nodes, 3), jnp.uint32))
+
     if num_internal > 0:
-        bounds = _bounds_fixed_point(bounds, bvh.left, bvh.right,
-                                     num_internal, num_sweeps)
+        left = bvh.left.astype(jnp.int32)
+        right = bvh.right.astype(jnp.int32)
+
+        def sweep(b):
+            lmn, lmx = f16.unpack_bounds(b[left])
+            rmn, rmx = f16.unpack_bounds(b[right])
+            packed = f16.pack_bounds_conservative(
+                jnp.minimum(lmn, rmn), jnp.maximum(lmx, rmx)
+            )
+            return jnp.where(leaf_mask[:, None], b, packed)
+
+        def cond(carry):
+            _, changed, it = carry
+            return changed & (it < num_sweeps)
+
+        def body(carry):
+            b, _, it = carry
+            b2 = sweep(b)
+            return b2, jnp.any(b2 != b), it + 1
+
+        bounds, _, _ = jax.lax.while_loop(
+            cond, body, (bounds, jnp.bool_(True), jnp.int32(0))
+        )
     return bvh._replace(bounds_u32=bounds), tris_sorted
 
 
@@ -173,10 +200,11 @@ def refit_lbvh2_clustered(
     """
     c = cs.bvh2.num_internal + 1
     sweeps = num_sweeps if num_sweeps is not None else _static_height_bound(c)
+    k = int(cs.leaf_size)  # may arrive as a device scalar via a jit boundary
     bvh2, tris_sorted = _refit_clustered_impl(
-        cs.bvh2, cs.tri_order, triangles, cs.leaf_size, sweeps
+        cs.bvh2, cs.tri_order, triangles, k, sweeps
     )
-    return ClusteredScene(bvh2, tris_sorted, cs.tri_order, cs.leaf_size)
+    return ClusteredScene(bvh2, tris_sorted, cs.tri_order, k)
 
 
 def build_sah2_clustered(

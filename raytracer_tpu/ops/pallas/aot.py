@@ -36,6 +36,26 @@ __all__ = ["cached_export", "pad_qnodes", "aot_cache_dir", "source_fingerprint"]
 _MEM: dict[str, object] = {}
 
 
+def _register_pytrees() -> None:
+    """Exports whose arguments include the library NamedTuples (WideBVH,
+    LBVH2, ClusteredScene) can only be serialized once those types are
+    registered with jax.export. Idempotent."""
+    from ...ops.cluster import ClusteredScene
+    from ...ops.lbvh import LBVH2
+    from ...ops.trace import WideBVH
+
+    for nt in (WideBVH, LBVH2, ClusteredScene):
+        try:
+            jax.export.register_namedtuple_serialization(
+                nt, serialized_name=f"raytracer_tpu.{nt.__name__}"
+            )
+        except ValueError:
+            pass  # already registered
+
+
+_register_pytrees()
+
+
 def aot_cache_dir() -> Path:
     d = os.environ.get("RT_AOT_CACHE", "")
     if d:
@@ -44,13 +64,17 @@ def aot_cache_dir() -> Path:
 
 
 def source_fingerprint() -> str:
-    """Hash of everything that affects the traced kernel program."""
-    here = Path(__file__).parent
+    """Hash of everything that affects ANY traced program: every .py in the
+    package. Exported programs close over arbitrary library code
+    (render_pt, render, parallel/mesh, ...), so hashing only the kernel
+    sources would silently serve stale executables after a library edit —
+    a benchmark would A/B the OLD code. Whole-package hashing trades
+    one re-export per source change for that correctness guarantee."""
+    pkg = Path(__file__).resolve().parents[2]
     h = hashlib.sha256()
-    for f in ("traverse.py", "entry.py"):
-        p = here / f
-        if p.exists():
-            h.update(p.read_bytes())
+    for p in sorted(pkg.rglob("*.py")):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
     h.update(jax.__version__.encode())
     for k in sorted(os.environ):
         if k.startswith("RT_") and k != "RT_AOT_CACHE":
@@ -69,7 +93,9 @@ def cached_export(name: str, make_fn, arg_specs, *, platform: str | None = None)
     """
     if platform is None:
         platform = jax.default_backend()
-    spec_key = ",".join(f"{tuple(s.shape)}:{s.dtype}" for s in arg_specs)
+    spec_key = ",".join(
+        f"{tuple(s.shape)}:{s.dtype}" for s in jax.tree.leaves(arg_specs)
+    )
     key = f"{name}-{platform}-{source_fingerprint()}-" + hashlib.sha256(
         spec_key.encode()
     ).hexdigest()[:12]

@@ -530,19 +530,30 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
                 _consume(s, streams[s], node_scr, stack_n, stack_d,
                          maxb_scr, istate_scr, leaf_k)
 
-            # branchless pop: culled entries are discarded (one iteration
-            # slot, scalar cost only — culled pops are rare: the packet
-            # cull bound stays at INF while any lane in the tile misses)
+            # branchless double-pop: a culled top entry costs only scalar
+            # work here instead of a whole idle iteration slot (~330 ns) —
+            # the second-chance pop takes the next entry when the top is
+            # culled. Any-hit streams whose lanes are ALL occluded drive
+            # maxb to 0, which culls every remaining entry (dist ≥ 0):
+            # flush the stack outright instead of draining it pop by pop.
             sp = istate_scr[_SP, s]
+            mb = maxb_scr[s, 1]
+            sp = jnp.where(mb <= 0.0, jnp.int32(-1), sp)
             live = sp >= 0
             spc = jnp.maximum(sp, 0)
-            valid = live & (stack_d[s, spc] < maxb_scr[s, 1])
-            node = jnp.where(valid, stack_n[s, spc], 0)
+            valid = live & (stack_d[s, spc] < mb)
+            sp2 = sp - 1
+            live2 = sp2 >= 0
+            spc2 = jnp.maximum(sp2, 0)
+            take2 = jnp.logical_not(valid) & live2
+            valid2 = take2 & (stack_d[s, spc2] < mb)
+            node = jnp.where(valid, stack_n[s, spc],
+                             jnp.where(valid2, stack_n[s, spc2], 0))
             fetch(s, node).start()
-            sp_next = jnp.where(live, sp - 1, sp)
+            sp_next = jnp.where(live, jnp.where(take2, sp - 2, sp - 1), sp)
             istate_scr[_SP, s] = sp_next
-            istate_scr[_PEND, s] = valid.astype(jnp.int32)
-            cont = cont | valid | (sp_next >= 0)
+            istate_scr[_PEND, s] = (valid | valid2).astype(jnp.int32)
+            cont = cont | valid | valid2 | (sp_next >= 0)
         return cont
 
     jax.lax.while_loop(lambda c: c, body, jnp.bool_(True))
@@ -765,15 +776,24 @@ def _persistent_kernel(
             def _(s=s):
                 finish_tile(s)
 
-            # branchless pop (same as the fixed-stream loop)
+            # branchless double-pop (same as the fixed-stream loop): a
+            # culled top entry costs scalar work, not an idle ~330 ns slot
             sp = istate_scr[_SP, s]
+            mb = maxb_scr[s, 1]
             live = sp >= 0
             spc = jnp.maximum(sp, 0)
-            valid = live & (stack_d[s, spc] < maxb_scr[s, 1])
-            node = jnp.where(valid, stack_n[s, spc], 0)
+            valid = live & (stack_d[s, spc] < mb)
+            sp2 = sp - 1
+            live2 = sp2 >= 0
+            spc2 = jnp.maximum(sp2, 0)
+            take2 = jnp.logical_not(valid) & live2
+            valid2 = take2 & (stack_d[s, spc2] < mb)
+            node = jnp.where(valid, stack_n[s, spc],
+                             jnp.where(valid2, stack_n[s, spc2], 0))
             fetch(s, node).start()
-            istate_scr[_SP, s] = jnp.where(live, sp - 1, sp)
-            istate_scr[_PEND, s] = valid.astype(jnp.int32)
+            istate_scr[_SP, s] = jnp.where(
+                live, jnp.where(take2, sp - 2, sp - 1), sp)
+            istate_scr[_PEND, s] = (valid | valid2).astype(jnp.int32)
             cont = cont | (istate_scr[_CURTILE, s] < num_tiles)
         return cont
 

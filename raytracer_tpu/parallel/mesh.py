@@ -298,6 +298,7 @@ def render_pt_spp_sharded(
     compact: bool = False,
     leaf_k: int = 1,
     interpret: bool = False,
+    tile_primary: bool = False,
 ):
     """Full path-traced samples (NEE + bounces) sharded across chips: chip i
     renders pt_sample_frame with key seeds[i]; the mesh-mean comes back via
@@ -317,6 +318,7 @@ def render_pt_spp_sharded(
             wide_l, tris_l, cam_pos, cam_quat, jax.random.key(seed_l[0]),
             width, height, bounces=bounces, fov_degrees=fov_degrees,
             qnodes=qn_l, compact=compact, leaf_k=leaf_k, interpret=interpret,
+            tile_primary=tile_primary,
         )
         return jax.lax.psum(sample, axis) / n
 

@@ -350,6 +350,7 @@ class PathTracer:
             qnodes=self._qnodes if use_qn else None,
             compact=use_qn and bounces >= 2,
             leaf_k=self.leaf_size,
+            tile_primary=use_qn,
         )
         self._accum = accumulate(self._accum, sample, jnp.int32(self.frame_count))
         self.frame_count += 1

@@ -80,6 +80,43 @@ def _normals_for(tris: jax.Array, tri_idx: jax.Array, d: jax.Array) -> jax.Array
     return n * jnp.where(flip == 0.0, 1.0, flip)
 
 
+def _park_irrelevant(o, d, relevant):
+    """Park lanes whose trace result will be masked out on a live lane of
+    the same kernel stream (1024-lane chunk), so they add ZERO cost.
+
+    In a packet kernel the node visits of a stream are the union over its
+    lanes — a duplicated ray adds no visits and rides vector ops that happen
+    anyway. Without parking, dead lanes carry garbage origins (miss lanes'
+    ``p = o + d*INF = ±inf``), which blow up the stream's origin-AABB slack
+    (disabling the scalar cull ordering) and block any-hit early stream
+    termination (a never-occludable lane pins the stream). Streams with NO
+    relevant lane are parked at +inf origins: the root slab test fails and
+    the stream drains after one visit (the raybuf kernel's designed pad-ray
+    behavior, traverse.py::trace_rays_pallas).
+    """
+    from .ops.pallas.traverse import SUB
+
+    ch = SUB * 128                      # lanes per kernel stream
+    r = o.shape[0]
+    nch = r // ch
+    if nch == 0:
+        return o, d
+    oc = o[: nch * ch].reshape(nch, ch, 3)
+    dc = d[: nch * ch].reshape(nch, ch, 3)
+    rc = relevant[: nch * ch].reshape(nch, ch)
+    any_rel = jnp.any(rc, axis=1)
+    first = jnp.argmax(rc, axis=1)      # index of a live lane (0 if none)
+    o_live = jnp.take_along_axis(oc, first[:, None, None], axis=1)
+    d_live = jnp.take_along_axis(dc, first[:, None, None], axis=1)
+    o_park = jnp.where(any_rel[:, None, None], o_live, jnp.float32(INF))
+    d_park = jnp.where(any_rel[:, None, None], d_live, jnp.float32(1.0))
+    oc = jnp.where(rc[:, :, None], oc, o_park)
+    dc = jnp.where(rc[:, :, None], dc, d_park)
+    o = jnp.concatenate([oc.reshape(-1, 3), o[nch * ch:]], axis=0)
+    d = jnp.concatenate([dc.reshape(-1, 3), d[nch * ch:]], axis=0)
+    return o, d
+
+
 def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
               interpret: bool = False):
     """NEE shadow query: True where the ray hits anything. Uses the Pallas
@@ -124,7 +161,8 @@ def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
 @partial(
     jax.jit,
     static_argnames=("width", "height", "bounces", "fov_degrees", "brute",
-                     "compact", "leaf_k", "interpret"),
+                     "compact", "leaf_k", "interpret", "stats",
+                     "tile_primary"),
 )
 def pt_sample_frame(
     wide: WideBVH,
@@ -141,6 +179,8 @@ def pt_sample_frame(
     compact: bool = False,
     leaf_k: int = 1,
     interpret: bool = False,
+    stats: bool = False,
+    tile_primary: bool = False,
 ):
     """One progressive sample: jittered primary rays + path-traced bounces.
 
@@ -151,6 +191,13 @@ def pt_sample_frame(
     argsort + gathers per wave — a win when the scene makes incoherent
     waves expensive; measured per-config in PERF.md.
 
+    ``tile_primary=True`` (kernel path only) traces the b=0 camera wave
+    through the persistent TILE kernel (fused in-kernel ray generation,
+    per-tile stacks) instead of the generic ray-buffer kernel — the camera
+    wave is exactly the workload that kernel is built for. Subpixel jitter
+    comes from the shared counter-based hash (ops/camera.py::subpixel_hash01)
+    seeded from ``key``, so the sample stream stays backend-reproducible.
+
     Returns linear radiance (H, W, 3) float32.
     """
     import math
@@ -158,21 +205,35 @@ def pt_sample_frame(
     r = width * height
     keys = jax.random.split(key, 2 + 2 * bounces)
 
-    # jittered primary rays (uv jitter replaces the fixed +0.5 pixel center)
-    focal = jnp.float32(1.0 / math.tan(0.5 * math.radians(fov_degrees)))
-    aspect = jnp.float32(width / height)
-    jx = jax.random.uniform(keys[0], (height, width))
-    jy = jax.random.uniform(keys[1], (height, width))
-    px = (jnp.arange(width, dtype=jnp.float32)[None, :] + jx) / width * 2.0 - 1.0
-    py = (jnp.arange(height, dtype=jnp.float32)[:, None] + jy) / height * 2.0 - 1.0
-    d = jnp.stack(
-        [px * aspect, jnp.broadcast_to(py, (height, width)),
-         jnp.full((height, width), -focal)],
-        axis=-1,
-    )
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    d = rotate_by_quat(d, jnp.asarray(cam_quat, jnp.float32)[None, None, :]).reshape(r, 3)
-    o = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), (r, 3))
+    use_kernel = qnodes is not None and not brute
+    tile_primary = tile_primary and use_kernel
+    if tile_primary:
+        # camera wave through the TILE kernel: rays are generated in-kernel
+        # with the shared subpixel hash; the host reproduces the directions
+        # for the bounce continuation (bit-matching modulo rsqrt ulps)
+        from .ops.camera import generate_rays_jittered
+
+        pseed = jax.random.randint(keys[0], (), 0, 1 << 22)
+        o2, d2 = generate_rays_jittered(width, height, cam_pos, cam_quat,
+                                        pseed, fov_degrees)
+        o = o2.reshape(r, 3)
+        d = d2.reshape(r, 3)
+    else:
+        # jittered primary rays (uv jitter replaces the fixed +0.5 pixel center)
+        focal = jnp.float32(1.0 / math.tan(0.5 * math.radians(fov_degrees)))
+        aspect = jnp.float32(width / height)
+        jx = jax.random.uniform(keys[0], (height, width))
+        jy = jax.random.uniform(keys[1], (height, width))
+        px = (jnp.arange(width, dtype=jnp.float32)[None, :] + jx) / width * 2.0 - 1.0
+        py = (jnp.arange(height, dtype=jnp.float32)[:, None] + jy) / height * 2.0 - 1.0
+        d = jnp.stack(
+            [px * aspect, jnp.broadcast_to(py, (height, width)),
+             jnp.full((height, width), -focal)],
+            axis=-1,
+        )
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d = rotate_by_quat(d, jnp.asarray(cam_quat, jnp.float32)[None, None, :]).reshape(r, 3)
+        o = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), (r, 3))
 
     sun = _sun()
     base = jnp.asarray(_BASE, jnp.float32)
@@ -181,9 +242,34 @@ def pt_sample_frame(
     throughput = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
     pix = jnp.arange(r, dtype=jnp.int32)   # ray → pixel (identity until compacted)
+    alive_rays = jnp.int32(0)   # honest ray accounting: lanes that MATTER
+    lane_rays = jnp.int32(0)    # lanes actually traced (incl. dead/masked)
 
     for b in range(bounces):
-        t, tri, n = _trace(wide, qnodes, tris, o, d, brute, leaf_k, interpret)
+        # path wave traces every lane; NEE wave likewise — alive accounting
+        # counts only the lanes whose result is used (alive paths, and
+        # shadow rays for lanes that hit)
+        lane_rays = lane_rays + jnp.int32(2 * r)
+        alive_rays = alive_rays + jnp.sum(alive, dtype=jnp.int32)
+        if b == 0 and tile_primary:
+            from .ops.pallas.traverse import trace_tiles_pallas
+
+            t, nx, ny, nz, tri = trace_tiles_pallas(
+                qnodes, cam_pos, cam_quat, width, height, fov_degrees,
+                jitter=True, jitter_seed=pseed, leaf_k=leaf_k,
+                interpret=interpret,
+            )[:5]
+            t, tri = t.reshape(r), tri.reshape(r)
+            n = jnp.stack([nx.reshape(r), ny.reshape(r), nz.reshape(r)],
+                          axis=-1)
+            flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
+            n = n * jnp.where(flip == 0.0, 1.0, flip)
+        else:
+            ot, dt = (o, d)
+            if use_kernel and b > 0:
+                ot, dt = _park_irrelevant(o, d, alive)
+            t, tri, n = _trace(wide, qnodes, tris, ot, dt, brute, leaf_k,
+                               interpret)
         hit = (tri >= 0) & alive
         miss = ~(tri >= 0) & alive
 
@@ -196,8 +282,13 @@ def pt_sample_frame(
         p = o + d * t[:, None] + n * _EPS_OFFSET
 
         # next-event estimation: any-hit shadow ray toward the sun
-        occ = _occluded(wide, qnodes, tris, p, jnp.broadcast_to(sun, p.shape),
-                        brute, leaf_k, interpret)
+        alive_rays = alive_rays + jnp.sum(hit, dtype=jnp.int32)
+        os_, ds_ = p, jnp.broadcast_to(sun, p.shape)
+        if use_kernel:
+            # miss lanes' p is ±inf (o + d*INF) — parked so they can't
+            # poison the stream stats or block any-hit early termination
+            os_, ds_ = _park_irrelevant(os_, ds_, hit)
+        occ = _occluded(wide, qnodes, tris, os_, ds_, brute, leaf_k, interpret)
         lit = ~occ
         ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
         direct = base[None, :] * (ndotl * lit)[:, None]
@@ -237,7 +328,10 @@ def pt_sample_frame(
     # paths still alive after the last bounce collect the ambient sky
     radiance = radiance + jnp.where(alive[:, None], throughput * jnp.float32(_SKY), 0.0)
     radiance = jnp.zeros((r, 3), jnp.float32).at[pix].set(radiance)
-    return radiance.reshape(height, width, 3)
+    img = radiance.reshape(height, width, 3)
+    if stats:
+        return img, {"alive_rays": alive_rays, "lane_rays": lane_rays}
+    return img
 
 
 @jax.jit

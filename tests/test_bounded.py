@@ -58,6 +58,7 @@ def _assert_same_image(ref, got):
     assert np.all(bt[~hit] >= 1e29), "miss lanes must report t=INF"
 
 
+@pytest.mark.full
 def test_bounded_equals_unbounded():
     tris, qn = _scene_qnodes()
     w, h = 96, 64
@@ -68,6 +69,7 @@ def test_bounded_equals_unbounded():
     _assert_same_image(ref, (t, tri))
 
 
+@pytest.mark.full
 def test_bounded_repair_fixes_sabotaged_bounds():
     """Half-scale bounds guarantee underestimates on every interior tile;
     the repair pass must restore the exact image and must actually fire.
@@ -89,6 +91,7 @@ def test_bounded_repair_fixes_sabotaged_bounds():
     _assert_same_image(ref, (t, tri))
 
 
+@pytest.mark.full
 def test_bounded_repair_loops_past_cap():
     """More repairs needed than repair_cap: the batched repair loop must
     still restore the exact image (ADVICE r2: a single truncated batch
@@ -106,6 +109,7 @@ def test_bounded_repair_loops_past_cap():
 
 
 @pytest.mark.parametrize("k", [8])
+@pytest.mark.full
 def test_bounded_packed_leaves(k):
     tris, qn = _scene_qnodes(leaf_k=k)
     w, h = 96, 64
@@ -165,6 +169,7 @@ def test_sah_clustered_pipeline_parity():
 
 @pytest.mark.skipif(not _has_sah_clustered,
                     reason="libbvhtool.so with bvh_build_sah_clustered not built")
+@pytest.mark.full
 def test_sah_clustered_k32_parity():
     """The SHIPPED production configuration — SAH clusters at K=32
     (fast_build_options / bench default) — pinned off-TPU in interpret
@@ -244,6 +249,7 @@ def test_clustered_refit_deform_parity(sah):
     assert np.allclose(t_[hit], rt[hit], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.full
 def test_temporal_bounds_exact_across_samples():
     """trace_tiles_temporal (previous-frame depth bounds + repair) must give
     exactly the plain jittered trace for every successive seed — the

@@ -69,6 +69,7 @@ def test_tiles_parity_vs_brute(sphere, w, h):
     assert np.allclose(ln[~hit], 0.0)
 
 
+@pytest.mark.full
 def test_tiles_with_entries_identical(sphere):
     """Per-tile entry points must not change the image, only the work."""
     tris, wide, qn = sphere
@@ -82,6 +83,7 @@ def test_tiles_with_entries_identical(sphere):
         assert (np.asarray(pa) == np.asarray(pb)).all()
 
 
+@pytest.mark.full
 def test_tiles_stats_plane(sphere):
     tris, wide, qn = sphere
     w = h = GROUP * TILE
@@ -93,6 +95,7 @@ def test_tiles_stats_plane(sphere):
     assert (vis[:TILE, :TILE] == vis[0, 0]).all()
 
 
+@pytest.mark.full
 def test_jitter_deterministic_and_seeded(sphere):
     tris, wide, qn = sphere
     w = h = GROUP * TILE
@@ -142,6 +145,7 @@ def test_golden_image_pallas():
     assert sig == pinned, f"golden drift: {sig}"
 
 
+@pytest.mark.full
 def test_entry_conservative_property():
     """compute_tile_entries conservativeness (verdict r1 weak #4): for random
     scenes and cameras, entry-seeded traversal must find exactly the hits of
@@ -164,6 +168,7 @@ def test_entry_conservative_property():
 
 
 @pytest.mark.parametrize("k", [2, 4, 8])
+@pytest.mark.full
 def test_packed_leaf_parity(k):
     """Packed-leaf (K tris/leaf, ops/cluster.py) pipeline vs brute force,
     on a triangle count that is NOT a multiple of K (tail cluster masked)."""

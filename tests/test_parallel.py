@@ -76,6 +76,7 @@ def test_cameras_sharded(scene):
     assert not np.array_equal(out[0], out[-1])
 
 
+@pytest.mark.full
 def test_tiles_sharded_pallas_equals_single(scene):
     """The production (Pallas) multi-chip path: sharded bands must assemble
     into exactly the single-chip kernel's image (verdict r1 #4)."""
@@ -93,6 +94,7 @@ def test_tiles_sharded_pallas_equals_single(scene):
     np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t1))
 
 
+@pytest.mark.full
 def test_spp_sharded_equals_progressive_mean(scene):
     """n chips accumulate exactly n frames of the single-chip progressive
     stream — the estimators are unified (verdict r1 weak #6)."""
@@ -136,6 +138,7 @@ def test_pt_spp_sharded(scene):
     assert np.isfinite(out).all() and out.max() > 0
 
 
+@pytest.mark.full
 def test_cameras_sharded_pallas_equals_xla(scene):
     """Config-5 production path: the qnodes (Pallas) camera batch must match
     the XLA fallback per camera (verdict r2 #3)."""
@@ -155,6 +158,7 @@ def test_cameras_sharded_pallas_equals_xla(scene):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-6)
 
 
+@pytest.mark.full
 def test_pt_spp_sharded_pallas_equals_mean(scene):
     """Multi-chip PT through the Pallas ray-buffer kernel == the mean of the
     single-chip PT samples traced through the same kernel (verdict r2 #4)."""

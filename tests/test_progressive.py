@@ -4,6 +4,7 @@ camera-move reset."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracer_tpu import PathTracer, Scene
 from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
@@ -43,6 +44,7 @@ def test_direct_matches_primary_shade_on_open_plane():
     np.testing.assert_allclose(hit_px, want, rtol=0.08)
 
 
+@pytest.mark.full
 def test_radiance_finite_and_nonnegative():
     tris = procgen.make_cornell_box()
     wide = make_wide_bvh(collapse_lbvh2_to_bvh4(build_lbvh2(tris)))
@@ -54,6 +56,7 @@ def test_radiance_finite_and_nonnegative():
     assert np.isfinite(s).all() and (s >= 0).all()
 
 
+@pytest.mark.full
 def test_background_pixels_show_miss_color():
     tris = procgen.make_cube(0.3)
     wide = make_wide_bvh(collapse_lbvh2_to_bvh4(build_lbvh2(tris)))
@@ -88,6 +91,7 @@ def test_pathtracer_progressive_reset_on_camera_move():
     assert img.shape == (16, 16, 4) and img.dtype == np.uint8
 
 
+@pytest.mark.full
 def test_gi_adds_energy_in_concave_scene():
     """Inside the Cornell box, bounces>1 must add (bounded) energy vs
     direct-only."""
