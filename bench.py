@@ -108,15 +108,25 @@ def main(argv=None) -> int:
             leaf_k = 8
 
     # --- build: first run (cold compile) then steady-state rebuild ---
+    # On TPU the cluster path skips the eager collapse/widen and builds
+    # records through ONE AOT-exported collapse→widen→records program
+    # (ops/cluster.py::records_pipeline) — a fresh process deserializes it
+    # instead of paying ~25-60 s of per-process lowering+compile.
+    fuse_records = on_tpu and leaf_k > 1
+
     def full_build():
-        cluster = None
+        cluster, height = None, None
         if leaf_k > 1 and args.builder == "sah":
             from raytracer_tpu.ops.cluster import build_sah2_clustered
 
             cluster, height = build_sah2_clustered(tris, leaf_size=leaf_k)
+            if fuse_records:
+                return None, cluster, height
             bvh4 = collapse_lbvh2_to_bvh4(cluster.bvh2, sweeps=height + 2)
         elif leaf_k > 1:
             cluster = build_lbvh2_clustered(tris, leaf_size=leaf_k)
+            if fuse_records:
+                return None, cluster, None
             bvh4 = collapse_lbvh2_to_bvh4(cluster.bvh2)
         elif args.builder == "sah":
             from raytracer_tpu.ops.lbvh import build_sah2
@@ -126,10 +136,10 @@ def main(argv=None) -> int:
         else:
             bvh2 = build_lbvh2(tris)
             bvh4 = collapse_lbvh2_to_bvh4(bvh2)
-        return make_wide_bvh(bvh4), cluster
+        return make_wide_bvh(bvh4), cluster, height
 
     t0 = time.perf_counter()
-    wide, cluster = full_build()
+    wide, cluster, tree_height = full_build()
     build_s = None
 
     cam_pos0 = np.array([0.0, 0.0, 2.5], np.float32)
@@ -138,13 +148,17 @@ def main(argv=None) -> int:
     if on_tpu:
         from raytracer_tpu.ops.pallas.traverse import TILE, make_qnodes, trace_tiles_pallas
 
-        def records(w, c):
+        def records(w, c, h):
+            if c is not None and fuse_records:
+                from raytracer_tpu.ops.cluster import records_pipeline
+
+                return records_pipeline(c, height=h)
             if c is not None:
                 return make_qnodes(w, c.tris_sorted, tri_ids=c.tri_order,
                                    leaf_size=leaf_k)
             return make_qnodes(w, tris)
 
-        qn = records(wide, cluster)
+        qn = records(wide, cluster, tree_height)
         jax.block_until_ready(qn)
         build_s = time.perf_counter() - t0
         # steady-state rebuild (everything compiled)
@@ -174,7 +188,7 @@ def main(argv=None) -> int:
         jax.block_until_ready(wide.cmn)
         build_s = time.perf_counter() - t0
         t0b = time.perf_counter()
-        wide, _ = full_build()
+        wide, _, _ = full_build()
         jax.block_until_ready(wide.cmn)
         build_steady_s = time.perf_counter() - t0b
 

@@ -120,22 +120,47 @@ def config1(frames):
           {"tris": s.num_triangles, "hit_rate": float(hits[0]) / (w * h)})
 
 
-def _cluster_qnodes(wide, tris, leaf_k=int(os.environ.get("RT_SUITE_LEAF", "32"))):
+def _cluster_qnodes(wide, tris, leaf_k=int(os.environ.get("RT_SUITE_LEAF", "32")),
+                    split_extent=None):
     """Supernode records for the Pallas ray-buffer path — SAH-snapped
     K-tri clusters when the native builder is available (fewer slab-passing
     leaf slots per visit), single-triangle records otherwise. The caller's
     ``wide``/``tris`` stay untouched: with qnodes present the PT paths
-    trace exclusively through the records and report original tri ids."""
+    trace exclusively through the records and report original tri ids.
+
+    ``split_extent`` pre-bisects architectural triangles larger than that
+    world extent (utils/meshops.py) so cluster AABBs stay tight; fragments
+    still report original ids. Override with RT_SPLIT=<float> (0 disables).
+    """
+    import jax.numpy as jnp
+
     from raytracer_tpu.ops.pallas.traverse import make_qnodes
+
+    env_split = os.environ.get("RT_SPLIT")
+    if env_split is not None:
+        split_extent = float(env_split) or None
 
     try:
         from raytracer_tpu.ops.cluster import build_sah2_clustered
         from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
         from raytracer_tpu.ops.trace import make_wide_bvh
 
-        cs, h = build_sah2_clustered(tris, leaf_size=leaf_k)
+        tri_in, orig_ids = tris, None
+        if split_extent:
+            from raytracer_tpu.utils.meshops import split_large_triangles
+
+            frags, orig_ids = split_large_triangles(np.asarray(tris),
+                                                    split_extent)
+            log(f"[suite] split {tris.shape[0]} tris -> {len(frags)} "
+                f"fragments (extent > {split_extent})")
+            tri_in = jnp.asarray(frags)
+
+        cs, h = build_sah2_clustered(tri_in, leaf_size=leaf_k)
         wide_c = make_wide_bvh(collapse_lbvh2_to_bvh4(cs.bvh2, sweeps=h + 2))
-        return make_qnodes(wide_c, cs.tris_sorted, tri_ids=cs.tri_order,
+        tri_ids = cs.tri_order
+        if orig_ids is not None:
+            tri_ids = jnp.asarray(orig_ids)[cs.tri_order.astype(jnp.int32)]
+        return make_qnodes(wide_c, cs.tris_sorted, tri_ids=tri_ids,
                            leaf_size=leaf_k), leaf_k
     except Exception as e:
         log(f"[suite] SAH clusters unavailable ({e}); single-tri records")
@@ -309,7 +334,10 @@ def config5(frames):
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
     w = h = 256
-    n_cam = max(n_dev, 2)
+    # BASELINE config 5 is "multi-camera BATCH rendering" — the batch is
+    # what amortizes the per-frame refit chain; 8 cameras/chip models a
+    # production multi-view step (cameras reported in detail)
+    n_cam = max(4 * n_dev, 8) if jax.default_backend() != "cpu" else max(n_dev, 2)
     poss = np.tile(np.array([0, 0, 3.0], np.float32), (n_cam, 1))
     poss[:, 0] = np.linspace(-0.3, 0.3, n_cam)
     quats = np.tile(np.array([0, 0, 0, 1], np.float32), (n_cam, 1))

@@ -49,7 +49,7 @@ from .lbvh import (
 from .morton import build_morton_and_sort
 
 __all__ = ["ClusteredScene", "build_lbvh2_clustered", "build_sah2_clustered",
-           "refit_lbvh2_clustered"]
+           "refit_lbvh2_clustered", "records_pipeline"]
 
 
 class ClusteredScene(NamedTuple):
@@ -205,6 +205,44 @@ def refit_lbvh2_clustered(
         cs.bvh2, cs.tri_order, triangles, k, sweeps
     )
     return ClusteredScene(bvh2, tris_sorted, cs.tri_order, k)
+
+
+def records_pipeline(cs: ClusteredScene, *, height: int | None = None):
+    """collapse → widen → supernode records as ONE AOT-exported program.
+
+    The three device programs cost ~25–60 s of per-process lowering+compile
+    on the axon relay (verdict r2 #5's cold-start tail after the render
+    kernel itself was exported); a fresh process deserializes the cached
+    export instead (ops/pallas/aot.py). ``height`` (from
+    :func:`build_sah2_clustered`) pins the collapse sweep count; without it
+    the static shape-derived bound is used. Returns qnodes only — callers
+    needing the intermediate BVH4/WideBVH should run the pipeline unfused.
+    """
+    from .collapse import collapse_lbvh2_to_bvh4
+    from .pallas.aot import cached_export
+    from .pallas.traverse import make_qnodes
+    from .trace import make_wide_bvh
+
+    k = int(cs.leaf_size)
+    sweeps = None if height is None else int(height) + 2
+
+    def make():
+        def run(bvh2, tris_sorted, tri_order):
+            wide = make_wide_bvh(collapse_lbvh2_to_bvh4(bvh2, sweeps=sweeps))
+            return make_qnodes(wide, tris_sorted, tri_ids=tri_order,
+                               leaf_size=k)
+        return run
+
+    def spec(a):
+        return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+    call = cached_export(
+        f"records_k{k}_s{'auto' if sweeps is None else sweeps}",
+        make,
+        (jax.tree.map(spec, cs.bvh2), spec(cs.tris_sorted),
+         spec(cs.tri_order)),
+    )
+    return call(cs.bvh2, cs.tris_sorted, cs.tri_order)
 
 
 def build_sah2_clustered(

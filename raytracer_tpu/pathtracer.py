@@ -111,13 +111,37 @@ class PathTracer:
         self.triangles_data: np.ndarray = _default_tetrahedron()
         self._tris_dev: jax.Array | None = None
         self._bvh2: LBVH2 | None = None
-        self._bvh4: BVH4 | None = None
-        self._wide = None
+        self._bvh4_c: BVH4 | None = None
+        self._wide_c = None
         self._qnodes: jax.Array | None = None
         self._cluster = None
         self.build_stats: dict = {}
 
         self._use_pallas = jax.default_backend() not in ("cpu",)
+
+    # _bvh4/_wide are lazy on the fused-records TPU path (build_bvh builds
+    # qnodes through ONE AOT-exported program and never materializes the
+    # intermediates); consumers that do need them — checkpoints, the debug
+    # overlay, XLA/PT fallbacks — trigger the compute here on first access.
+    @property
+    def _bvh4(self):
+        if self._bvh4_c is None and self._bvh2 is not None:
+            self._bvh4_c = self._widen(self._bvh2)
+        return self._bvh4_c
+
+    @_bvh4.setter
+    def _bvh4(self, v):
+        self._bvh4_c = v
+
+    @property
+    def _wide(self):
+        if self._wide_c is None and self._bvh4 is not None:
+            self._wide_c = make_wide_bvh(self._bvh4)
+        return self._wide_c
+
+    @_wide.setter
+    def _wide(self, v):
+        self._wide_c = v
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -191,19 +215,34 @@ class PathTracer:
         jax.block_until_ready(self._bvh2.bounds_u32)
         t1 = time.perf_counter()
 
-        self._bvh4 = self._widen(self._bvh2)
-        jax.block_until_ready(self._bvh4.bounds_u32)
-        t2 = time.perf_counter()
+        if (self._use_pallas and self._cluster is not None
+                and self.widener == "collapse"):
+            # fused cold-start path: collapse→widen→records in one
+            # AOT-exported program; _bvh4/_wide stay lazy (see properties)
+            self._bvh4 = None
+            self._wide = None
+            t2 = time.perf_counter()
+            from .ops.cluster import records_pipeline
 
-        self._wide = make_wide_bvh(self._bvh4)
-        self._qnodes = self._make_qnodes()
-        jax.block_until_ready(self._qnodes)
-        t3 = time.perf_counter()
+            self._qnodes = records_pipeline(self._cluster,
+                                            height=self._bvh2_height)
+            jax.block_until_ready(self._qnodes)
+            t3 = time.perf_counter()
+        else:
+            self._bvh4 = self._widen(self._bvh2)
+            jax.block_until_ready(self._bvh4.bounds_u32)
+            t2 = time.perf_counter()
+
+            self._wide = make_wide_bvh(self._bvh4)
+            self._qnodes = self._make_qnodes()
+            jax.block_until_ready(self._qnodes)
+            t3 = time.perf_counter()
 
         self.build_stats = {
             "num_triangles": n,
             "num_nodes2": self._bvh2.num_nodes,
-            "num_nodes4": int(self._bvh4.num_nodes),
+            "num_nodes4": (int(self._bvh4_c.num_nodes)
+                           if self._bvh4_c is not None else None),
             "lbvh2_ms": (t1 - t0) * 1e3,
             "collapse_ms": (t2 - t1) * 1e3,
             "widen_ms": (t3 - t2) * 1e3,

@@ -80,6 +80,41 @@ def _normals_for(tris: jax.Array, tri_idx: jax.Array, d: jax.Array) -> jax.Array
     return n * jnp.where(flip == 0.0, 1.0, flip)
 
 
+def _tile_order(width: int, height: int):
+    """Lane → pixel permutation that groups lanes by TILE×TILE pixel block.
+
+    The ray-buffer kernel's streams are consecutive 1024-lane chunks; in
+    row-major pixel order a stream is a 1024-pixel ROW STRIP whose packet
+    frustum is ~TILE× wider than a square tile's — measured 9.6 ms vs the
+    tile kernel's ~6 ms for the same coherent wave (tools/mb_pt.py). Keeping
+    every PT wave in tile-block order gives each stream a square 32×32
+    footprint for free; the final ``.at[pix].set`` scatter restores pixel
+    positions. Partial edge tiles simply pack fewer lanes per block.
+    """
+    import numpy as np
+
+    from .ops.pallas.traverse import TILE
+
+    idx = np.arange(height * width, dtype=np.int32).reshape(height, width)
+    blocks = [idx[y:y + TILE, x:x + TILE].ravel()
+              for y in range(0, height, TILE)
+              for x in range(0, width, TILE)]
+    return np.concatenate(blocks)
+
+
+def _img_to_lanes(img, width: int, height: int):
+    """(H, W[, C]) image → flat lane order per ``_tile_order``."""
+    from .ops.pallas.traverse import TILE
+
+    ch = img.shape[2:]
+    if width % TILE == 0 and height % TILE == 0:
+        a = img.reshape(height // TILE, TILE, width // TILE, TILE, *ch)
+        return a.transpose(0, 2, 1, 3, *range(4, 4 + len(ch))).reshape(
+            height * width, *ch)
+    flat = img.reshape(height * width, *ch)
+    return flat[jnp.asarray(_tile_order(width, height))]
+
+
 def _park_irrelevant(o, d, relevant):
     """Park lanes whose trace result will be masked out on a live lane of
     the same kernel stream (1024-lane chunk), so they add ZERO cost.
@@ -216,8 +251,8 @@ def pt_sample_frame(
         pseed = jax.random.randint(keys[0], (), 0, 1 << 22)
         o2, d2 = generate_rays_jittered(width, height, cam_pos, cam_quat,
                                         pseed, fov_degrees)
-        o = o2.reshape(r, 3)
-        d = d2.reshape(r, 3)
+        o = _img_to_lanes(o2, width, height)
+        d = _img_to_lanes(d2, width, height)
     else:
         # jittered primary rays (uv jitter replaces the fixed +0.5 pixel center)
         focal = jnp.float32(1.0 / math.tan(0.5 * math.radians(fov_degrees)))
@@ -232,7 +267,8 @@ def pt_sample_frame(
             axis=-1,
         )
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        d = rotate_by_quat(d, jnp.asarray(cam_quat, jnp.float32)[None, None, :]).reshape(r, 3)
+        d = rotate_by_quat(d, jnp.asarray(cam_quat, jnp.float32)[None, None, :])
+        d = _img_to_lanes(d, width, height)
         o = jnp.broadcast_to(jnp.asarray(cam_pos, jnp.float32), (r, 3))
 
     sun = _sun()
@@ -241,7 +277,9 @@ def pt_sample_frame(
     radiance = jnp.zeros((r, 3), jnp.float32)
     throughput = jnp.ones((r, 3), jnp.float32)
     alive = jnp.ones((r,), bool)
-    pix = jnp.arange(r, dtype=jnp.int32)   # ray → pixel (identity until compacted)
+    # ray → pixel: lanes start in tile-block order (see _tile_order) and are
+    # further permuted by compaction; the final scatter restores pixels
+    pix = jnp.asarray(_tile_order(width, height))
     alive_rays = jnp.int32(0)   # honest ray accounting: lanes that MATTER
     lane_rays = jnp.int32(0)    # lanes actually traced (incl. dead/masked)
 
@@ -259,9 +297,11 @@ def pt_sample_frame(
                 jitter=True, jitter_seed=pseed, leaf_k=leaf_k,
                 interpret=interpret,
             )[:5]
-            t, tri = t.reshape(r), tri.reshape(r)
-            n = jnp.stack([nx.reshape(r), ny.reshape(r), nz.reshape(r)],
-                          axis=-1)
+            t, tri = (_img_to_lanes(t, width, height),
+                      _img_to_lanes(tri, width, height))
+            n = jnp.stack([_img_to_lanes(nx, width, height),
+                           _img_to_lanes(ny, width, height),
+                           _img_to_lanes(nz, width, height)], axis=-1)
             flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
             n = n * jnp.where(flip == 0.0, 1.0, flip)
         else:
@@ -320,6 +360,11 @@ def pt_sample_frame(
                 | (octant << jnp.uint32(28))
                 | (m >> jnp.uint32(2))
             )
+            # Full per-lane sort every wave: each bounce re-samples every
+            # lane's direction, so octant purity — the part of the key that
+            # pays (A/B'd round 3) — can never be preserved by cheaper
+            # grouped/segmented sorts (tools/mb_compact2.py: sort cost is
+            # flat per element; 4-lane grouping lost 6-38 ms/frame).
             perm = jnp.argsort(key)
             o, d = o[perm], d[perm]
             radiance, throughput = radiance[perm], throughput[perm]

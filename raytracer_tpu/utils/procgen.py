@@ -183,9 +183,49 @@ def make_trefoil(
     return _dedupe_to_soup(verts, faces)
 
 
+def make_dragon_solid(nu: int = 660, nv: int = 660) -> np.ndarray:
+    """Solid crumpled blob — 2*nu*nv triangles (defaults: 871,200).
+
+    A closed, multi-octave-displaced sphere with dragon-like surface
+    crumple. Unlike :func:`make_trefoil` (a tube whose framed view is 44%
+    fill with many strands per ray), this matches the character of the
+    reference's actual benchmark scene: the Stanford Dragon is a SOLID
+    surface that fills the frame when framed (README.md:96 — scene:
+    Stanford Dragon, 1920×1080), so framed rays see ~1-2 surfaces, not a
+    corridor of strands. θ is sampled pole-to-pole; the pole quads'
+    collapsed triangles are zero-area (MT-inert, point AABBs) and keep the
+    count exact.
+    """
+    th = np.linspace(0.0, np.pi, nu + 1)[:-1] + np.pi / (2 * (nu + 1))
+    ph = np.linspace(0.0, 2.0 * np.pi, nv, endpoint=False)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+
+    r = (
+        1.0
+        + 0.18 * np.sin(6.0 * tt) * np.cos(5.0 * pp)
+        + 0.12 * np.sin(11.0 * tt + 1.7) * np.sin(8.0 * pp + 0.6)
+        + 0.07 * np.sin(23.0 * tt + 0.9) * np.cos(17.0 * pp + 2.1)
+        + 0.04 * np.sin(41.0 * tt) * np.sin(31.0 * pp)
+    )
+    x = r * np.sin(tt) * np.cos(pp) * 1.30   # elongate: dragon-ish aspect
+    y = r * np.cos(tt) * 0.78
+    z = r * np.sin(tt) * np.sin(pp) * 0.95
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    faces = _grid_faces(nu, nv, wrap_u=False, wrap_v=True)
+    # close the poles: clamp the out-of-range top row index to the last row
+    faces = np.clip(faces, 0, nu * nv - 1)
+    return _dedupe_to_soup(verts, faces)
+
+
 def make_dragon_stand_in() -> np.ndarray:
-    """The Dragon-benchmark substitute: 871,200 tris, deterministic."""
-    return make_trefoil()
+    """The Dragon-benchmark substitute: 871,200 tris, deterministic.
+
+    Round 3 switched the stand-in from the trefoil tube to
+    :func:`make_dragon_solid` to match the reference benchmark scene's
+    character (solid Stanford Dragon, not a tube) — both stand-ins stay
+    available and PERF.md records the A/B on both.
+    """
+    return make_dragon_solid()
 
 
 def make_cornell_box(inner: float = 2.0) -> np.ndarray:
