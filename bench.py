@@ -2,13 +2,18 @@
 
 Headline metric (BASELINE.md): Mrays/s per chip on the Dragon-benchmark
 scene (Stanford Dragon is stripped from the mirror, so the substitute is the
-deterministic 871,200-triangle displaced trefoil — procgen.make_dragon_stand_in)
-at 1920×1080, 1 primary ray per pixel. vs_baseline is against the
-reference's ~75 Mrays/s (Intel UHD 600, README.md:74-80 → BASELINE.md).
+deterministic 871,200-triangle SOLID displaced blob —
+procgen.make_dragon_stand_in; the reference scene is the solid dragon,
+README.md:96) at 1920×1080, 1 primary ray per pixel. vs_baseline is against
+the reference's ~75 Mrays/s (Intel UHD 600, README.md:74-80 → BASELINE.md).
 
-Timing is honest against async runtimes: every timed frame ends with a
-device→host pull of the hit plane, and distinct camera args defeat any
-execution caching.
+Timing is honest against async runtimes: every timed batch ends with a
+device→host pull of data-dependent per-frame hit counts, and distinct
+camera args defeat any execution caching. Frames are batched on device
+(lax.map, default 32/batch): each batch boundary pays a ~50-75 ms axon
+RELAY sync that is tunnel overhead, not TPU time — the reference number is
+likewise a continuous render loop with no per-frame readback
+(PathTracer.js render loop). Per-frame cost = batch wall time / frames.
 
 Usage: python bench.py [--quick] [--frames N] [--json-only]
 """
@@ -36,7 +41,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small scene/resolution (smoke test)")
-    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--builder", default="sah", choices=["sah", "lbvh"],
                     help="sah = native binned-SAH quality builder (default; "
                          "with --leaf>1 leaves are SAH-snapped K-tri clusters, "

@@ -82,20 +82,51 @@ def source_fingerprint() -> str:
     return h.hexdigest()[:16]
 
 
+def _code_fingerprint(fn, _seen=None) -> str:
+    """Best-effort structural hash of a Python function: bytecode + consts
+    (recursing into nested code objects) + primitive closure-cell values.
+    Guards the export cache against two call sites sharing a ``name`` but
+    building different programs — a collision would silently serve the
+    WRONG executable (it bit a benchmark in round 3). Closure cells holding
+    arrays are skipped (shape/dtype live in the spec key)."""
+    h = hashlib.sha256()
+
+    def walk_code(code):
+        h.update(code.co_code)
+        for c in code.co_consts:
+            if hasattr(c, "co_code"):
+                walk_code(c)
+            else:
+                h.update(repr(c).encode())
+
+    walk_code(fn.__code__)
+    for cell in fn.__closure__ or ():
+        v = cell.cell_contents
+        if isinstance(v, (int, float, str, bool, bytes, tuple)):
+            h.update(repr(v).encode())
+        elif hasattr(v, "__code__"):
+            walk_code(v.__code__)
+    return h.hexdigest()[:10]
+
+
 def cached_export(name: str, make_fn, arg_specs, *, platform: str | None = None):
     """Return a callable for ``jax.jit(make_fn())`` specialized to
     ``arg_specs``, served from the on-disk export cache when possible.
 
-    ``make_fn`` is a zero-arg factory returning the jittable function (lazy
-    so cache hits never trace it). On a miss the function is exported
-    (paying the one-time lowering cost), serialized to disk, and used.
-    Returns ``exp.call`` — call it with arrays matching ``arg_specs``.
+    ``make_fn`` is a zero-arg factory returning the jittable function
+    (building it is assumed cheap; tracing/lowering only happens on a cache
+    miss). On a miss the function is exported (paying the one-time lowering
+    cost), serialized to disk, and used. Returns ``exp.call`` — call it
+    with arrays matching ``arg_specs``. ``name`` should still uniquely
+    describe the program — the code fingerprint below is a guard, not a
+    namespace.
     """
     if platform is None:
         platform = jax.default_backend()
     spec_key = ",".join(
         f"{tuple(s.shape)}:{s.dtype}" for s in jax.tree.leaves(arg_specs)
     )
+    spec_key += "|" + _code_fingerprint(make_fn())
     key = f"{name}-{platform}-{source_fingerprint()}-" + hashlib.sha256(
         spec_key.encode()
     ).hexdigest()[:12]

@@ -46,7 +46,7 @@ def make_render_n():
 
 
 call = cached_export(
-    f"bench_render_n_{W}x{H}_k{K}_f{NF}", make_render_n,
+    f"mb_render_n_{W}x{H}_k{K}_f{NF}", make_render_n,
     (jax.ShapeDtypeStruct(qn.shape, qn.dtype),
      jax.ShapeDtypeStruct((NF, 3), jnp.float32)),
 )
