@@ -135,6 +135,7 @@ except Exception:
 
 @pytest.mark.skipif(not _has_sah_clustered,
                     reason="libbvhtool.so with bvh_build_sah_clustered not built")
+@pytest.mark.full
 def test_sah_clustered_pipeline_parity():
     """SAH-snapped clusters (native builder) through the Pallas kernel match
     the brute-force oracle exactly — same contract as the Morton clusters."""

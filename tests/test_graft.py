@@ -5,6 +5,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -26,5 +27,6 @@ def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.full
 def test_dryrun_multichip_2():
     graft.dryrun_multichip(2)

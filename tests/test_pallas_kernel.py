@@ -51,7 +51,8 @@ def _brute(tris, w, h):
     return np.asarray(t).reshape(h, w), np.asarray(tri).reshape(h, w)
 
 
-@pytest.mark.parametrize("w,h", [(128, 64), (96, 80)])
+@pytest.mark.parametrize("w,h", [(128, 64),
+    pytest.param(96, 80, marks=pytest.mark.full)])
 def test_tiles_parity_vs_brute(sphere, w, h):
     """Exact tri-id parity incl. non-multiple-of-block sizes (internal pad)."""
     tris, wide, qn = sphere
