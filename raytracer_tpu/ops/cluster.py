@@ -195,11 +195,16 @@ def refit_lbvh2_clustered(
     deterministic union sweeps as ops/lbvh.py::refit_lbvh2.
 
     ``triangles`` is the deformed geometry in ORIGINAL order (the permutation
-    is re-applied here). For SAH trees pass ``num_sweeps=height+2`` from the
-    build; default is the Morton-tree static height bound.
+    is re-applied here). ``num_sweeps`` (pass ``height+2`` from an SAH
+    build) only CAPS the convergence loop — the default cap is the node
+    count, a true bound for ANY tree shape (an SAH tree can be deeper than
+    the Morton static height bound, and an under-cap would silently leave
+    stale internal bounds → hole pixels). The loop exits on convergence, so
+    a generous cap costs nothing on real trees.
     """
     c = cs.bvh2.num_internal + 1
-    sweeps = num_sweeps if num_sweeps is not None else _static_height_bound(c)
+    sweeps = num_sweeps if num_sweeps is not None else max(
+        _static_height_bound(c), cs.bvh2.num_internal + 1)
     k = int(cs.leaf_size)  # may arrive as a device scalar via a jit boundary
     bvh2, tris_sorted = _refit_clustered_impl(
         cs.bvh2, cs.tri_order, triangles, k, sweeps

@@ -30,6 +30,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["cached_export", "pad_qnodes", "aot_cache_dir", "source_fingerprint"]
 
@@ -63,13 +64,21 @@ def aot_cache_dir() -> Path:
     return Path(__file__).resolve().parents[3] / ".aot_cache"
 
 
+_SRC_FP: str | None = None
+
+
 def source_fingerprint() -> str:
     """Hash of everything that affects ANY traced program: every .py in the
     package. Exported programs close over arbitrary library code
     (render_pt, render, parallel/mesh, ...), so hashing only the kernel
     sources would silently serve stale executables after a library edit —
     a benchmark would A/B the OLD code. Whole-package hashing trades
-    one re-export per source change for that correctness guarantee."""
+    one re-export per source change for that correctness guarantee.
+    Memoized: sources cannot change meaningfully within a process (modules
+    are already imported), and cached_export sits on per-frame paths."""
+    global _SRC_FP
+    if _SRC_FP is not None:
+        return _SRC_FP
     pkg = Path(__file__).resolve().parents[2]
     h = hashlib.sha256()
     for p in sorted(pkg.rglob("*.py")):
@@ -79,7 +88,8 @@ def source_fingerprint() -> str:
     for k in sorted(os.environ):
         if k.startswith("RT_") and k != "RT_AOT_CACHE":
             h.update(f"{k}={os.environ[k]}".encode())
-    return h.hexdigest()[:16]
+    _SRC_FP = h.hexdigest()[:16]
+    return _SRC_FP
 
 
 def _code_fingerprint(fn, _seen=None) -> str:
@@ -106,6 +116,13 @@ def _code_fingerprint(fn, _seen=None) -> str:
             h.update(repr(v).encode())
         elif hasattr(v, "__code__"):
             walk_code(v.__code__)
+        elif isinstance(v, np.ndarray) and v.nbytes <= 65536:
+            # small baked-in host constants (camera vectors etc.) — an
+            # edited constant must not serve the stale export. Device
+            # arrays are deliberately skipped (hashing would force a
+            # device sync on the per-frame path).
+            h.update(v.tobytes())
+            h.update(str(v.shape).encode())
     return h.hexdigest()[:10]
 
 

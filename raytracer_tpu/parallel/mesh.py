@@ -281,7 +281,7 @@ def render_cameras_sharded(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "bounces", "fov_degrees", "mesh",
-                     "compact", "leaf_k", "interpret"),
+                     "compact", "leaf_k", "interpret", "tile_primary"),
 )
 def render_pt_spp_sharded(
     wide: WideBVH,
@@ -303,7 +303,8 @@ def render_pt_spp_sharded(
     """Full path-traced samples (NEE + bounces) sharded across chips: chip i
     renders pt_sample_frame with key seeds[i]; the mesh-mean comes back via
     psum — n chips accumulate n progressive PT frames per step (completes
-    verdict r1 weak #6 for the bounced estimator).
+    verdict r1 weak #6 for the bounced estimator). ``tile_primary`` routes
+    each chip's camera wave through the persistent TILE kernel.
 
     Pass ``qnodes`` so each chip's waves route through the Pallas ray-buffer
     kernel (verdict r2 #4 — multi-chip PT previously fell back to the XLA

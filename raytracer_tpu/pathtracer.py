@@ -376,7 +376,10 @@ class PathTracer:
         key = jax.random.key(self.frame_count)
         use_qn = self._use_pallas and len(self.triangles_data) > _BRUTE_FORCE_MAX_TRIS
         sample = pt_sample_frame(
-            self._wide,
+            # with qnodes the kernel path never reads wide — don't trigger
+            # the lazy _wide property, which would re-pay the per-process
+            # collapse/widen compile the fused AOT build path avoids
+            None if use_qn else self._wide,
             self._tris_dev,
             jnp.asarray(self.camera_position, jnp.float32),
             jnp.asarray(self.camera_quaternion, jnp.float32),

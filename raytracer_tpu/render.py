@@ -103,6 +103,10 @@ def _repair_unbounded(qnodes, o_flat, d_flat, planes, need, repair_cap,
     patched tuple plus the total repair count."""
     from .ops.pallas.traverse import trace_rays_pallas
 
+    if repair_cap <= 0:
+        raise ValueError(
+            "repair_cap must be >= 1 — a zero cap would make the repair "
+            "loop spin forever (no lane is ever examined)")
     t, nx, ny, nz, tri = planes
     shape = t.shape
     need0 = need.ravel()

@@ -138,6 +138,28 @@ def test_pt_spp_sharded(scene):
     assert np.isfinite(out).all() and out.max() > 0
 
 
+def test_pt_spp_sharded_tile_primary(scene):
+    """tile_primary must be a STATIC arg of the sharded PT wrapper — it
+    drives Python control flow inside pt_sample_frame (regression: it was
+    traced as a bool[] and crashed with TracerBoolConversionError)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.pallas.traverse import make_qnodes
+    from raytracer_tpu.parallel.mesh import render_pt_spp_sharded
+
+    wide, tris = scene
+    qn = make_qnodes(wide, tris)
+    mesh = make_mesh(8)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    out = render_pt_spp_sharded(
+        wide, tris, CAM_POS, CAM_QUAT, seeds, 32, 32, mesh, bounces=1,
+        qnodes=qn, interpret=True, tile_primary=True,
+    )
+    out = np.asarray(out)
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(out).all() and out.max() > 0
+
+
 @pytest.mark.full
 def test_cameras_sharded_pallas_equals_xla(scene):
     """Config-5 production path: the qnodes (Pallas) camera batch must match
