@@ -278,9 +278,11 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
     push_dist = [f32(0.0)] * 4
     push_internal = [jnp.bool_(False)] * 4
     push_order = [f32(0.0)] * 4
-    accs = [jnp.zeros((SUB, 128), jnp.int32), jnp.zeros((SUB, 128), jnp.int32)]
 
     dx, dy, dz = st.dirs()
+    # lane-tile shape comes from the stream (the ray-buffer kernel supports
+    # wider-than-SUB streams for divergent waves)
+    accs = [jnp.zeros(dx.shape, jnp.int32), jnp.zeros(dx.shape, jnp.int32)]
     ix, iy, iz = st.invs()
     ox, oy, oz = st.ox, st.oy, st.oz
     (odx, ody, odz), (oox, ooy, ooz) = st.order_d(), st.order_o
@@ -500,11 +502,12 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
     ns = len(streams)
 
     for s, st in enumerate(streams):
-        st.write("t", jnp.full((SUB, 128), INF, f32))
-        st.write("nx", jnp.zeros((SUB, 128), f32))
-        st.write("ny", jnp.zeros((SUB, 128), f32))
-        st.write("nz", jnp.zeros((SUB, 128), f32))
-        st.write("tri", jnp.full((SUB, 128), -1, jnp.int32))
+        shp = st.dirs()[0].shape
+        st.write("t", jnp.full(shp, INF, f32))
+        st.write("nx", jnp.zeros(shp, f32))
+        st.write("ny", jnp.zeros(shp, f32))
+        st.write("nz", jnp.zeros(shp, f32))
+        st.write("tri", jnp.full(shp, -1, jnp.int32))
         stack_n[s, 0] = st.entry
         stack_d[s, 0] = f32(0.0)
         maxb_scr[s, 0] = f32(INF)
@@ -998,7 +1001,7 @@ def trace_tiles_pallas(
     return planes if stats else planes[:5]
 
 
-@partial(jax.jit, static_argnames=("interpret", "any_hit", "leaf_k"))
+@partial(jax.jit, static_argnames=("interpret", "any_hit", "leaf_k", "sub"))
 def trace_rays_pallas(
     qnodes: jax.Array,
     origins: jax.Array,
@@ -1006,14 +1009,23 @@ def trace_rays_pallas(
     interpret: bool = False,
     any_hit: bool = False,
     leaf_k: int = 1,
+    sub: int = SUB,
 ):
     """Closest-hit trace of an arbitrary ray buffer through the supernode
     kernel → (t, nx, ny, nz, tri), each shape (R,).
 
-    Rays are processed in NS independent 1024-lane streams per program; keep
-    them spatially coherent (pixel order for bounce waves) — the
-    block-shared stacks bet on it. Pad rays are given far-away origins so
-    their streams drain after a single root visit.
+    Rays are processed in NS independent ``sub``×128-lane streams per
+    program; keep them spatially coherent (tile-block order for bounce
+    waves) — the block-shared stacks bet on it. Pad rays are given far-away
+    origins so their streams drain after a single root visit.
+
+    ``sub`` (default SUB=8 → 1024-lane streams, the tile kernel's packet
+    size) sets the stream width. DIVERGENT waves (bounce directions) make
+    every stream walk ~the whole tree regardless of width, so wider streams
+    amortize the per-visit scalar+DMA cost over more rays — measured wins
+    for sub=16/32 on interior bounce waves (PERF.md round 3). Keep the
+    default for coherent primaries, where a wider packet inflates the
+    frustum union instead.
 
     ``any_hit=True`` turns the trace into an occlusion query (NEE shadow
     rays): lanes stop at their first accepted intersection and whole
@@ -1021,26 +1033,26 @@ def trace_rays_pallas(
     ``t == 0``) means occluded; ``t`` is NOT a distance in this mode.
     """
     r = origins.shape[0]
-    grp = NS * SUB * 128
+    grp = NS * sub * 128
     pad = (-r) % grp
     o = jnp.pad(origins, ((0, pad), (0, 0)), constant_values=INF)
     d = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
     nt = o.shape[0] // grp
 
     def plane(a, c):
-        return a[:, c].reshape(nt, NS, SUB, 128)
+        return a[:, c].reshape(nt, NS, sub, 128)
 
     in_planes = [plane(o, 0), plane(o, 1), plane(o, 2),
                  plane(d, 0), plane(d, 1), plane(d, 2)]
 
-    spec = pl.BlockSpec((1, NS, SUB, 128), lambda i: (i, 0, 0, 0),
+    spec = pl.BlockSpec((1, NS, sub, 128), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     out_shape = [
-        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.float32),
-        jax.ShapeDtypeStruct((nt, NS, SUB, 128), jnp.int32),
+        jax.ShapeDtypeStruct((nt, NS, sub, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, sub, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, sub, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, sub, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nt, NS, sub, 128), jnp.int32),
     ]
 
     def kern(*args):

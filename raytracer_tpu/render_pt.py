@@ -115,9 +115,9 @@ def _img_to_lanes(img, width: int, height: int):
     return flat[jnp.asarray(_tile_order(width, height))]
 
 
-def _park_irrelevant(o, d, relevant):
+def _park_irrelevant(o, d, relevant, sub=None):
     """Park lanes whose trace result will be masked out on a live lane of
-    the same kernel stream (1024-lane chunk), so they add ZERO cost.
+    the same kernel stream (``sub``×128-lane chunk), so they add ZERO cost.
 
     In a packet kernel the node visits of a stream are the union over its
     lanes — a duplicated ray adds no visits and rides vector ops that happen
@@ -129,10 +129,11 @@ def _park_irrelevant(o, d, relevant):
     the stream drains after one visit (the raybuf kernel's designed pad-ray
     behavior, traverse.py::trace_rays_pallas).
     """
-    from .ops.pallas.traverse import SUB
-
-    ch = SUB * 128                      # lanes per kernel stream
     r = o.shape[0]
+    # chunk size MUST match the stream width the wave will trace with —
+    # an inf-parked sub-chunk inside a wider live stream would blow up the
+    # stream's origin AABB and disable the scalar cull ordering
+    ch = (_wave_sub(r) if sub is None else sub) * 128
     nch = r // ch
     if nch == 0:
         return o, d
@@ -152,6 +153,17 @@ def _park_irrelevant(o, d, relevant):
     return o, d
 
 
+def _wave_sub(r: int) -> int:
+    """Stream width for PT waves: 16 sublanes (2048-lane streams) once the
+    wave is big enough to fill them — divergent bounce/NEE waves walk ~the
+    whole tree per stream, so wider streams amortize the per-visit scalar
+    cost (tools/mb_sub.py: NEE −8%, incoherent −17% at sub=16; primaries
+    flat). Small (test-size) waves keep the tile-kernel default."""
+    from .ops.pallas.traverse import NS, SUB
+
+    return 16 if r >= NS * 16 * 128 else SUB
+
+
 def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
               interpret: bool = False):
     """NEE shadow query: True where the ray hits anything. Uses the Pallas
@@ -161,7 +173,8 @@ def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
         from .ops.pallas.traverse import trace_rays_pallas
 
         _, _, _, _, tri = trace_rays_pallas(qnodes, o, d, any_hit=True,
-                                            leaf_k=leaf_k, interpret=interpret)
+                                            leaf_k=leaf_k, interpret=interpret,
+                                            sub=_wave_sub(o.shape[0]))
         return tri >= 0
     if brute:
         _, tri = trace_rays_brute(tris, o, d)
@@ -181,7 +194,8 @@ def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
         from .ops.pallas.traverse import trace_rays_pallas
 
         t, nx, ny, nz, tri = trace_rays_pallas(qnodes, o, d, leaf_k=leaf_k,
-                                               interpret=interpret)
+                                               interpret=interpret,
+                                               sub=_wave_sub(o.shape[0]))
         n = jnp.stack([nx, ny, nz], axis=-1)
         flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
         n = n * jnp.where(flip == 0.0, 1.0, flip)
