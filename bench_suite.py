@@ -192,28 +192,45 @@ def config2(frames):
     if _jax.default_backend() != "cpu":
         qn, leaf_k = _cluster_qnodes(wide, tris)
 
+    # Frames are batched ON DEVICE inside one exported call (lax.scan over
+    # per-frame seeds): each exported-call boundary costs ~50-75 ms of axon
+    # relay overhead (PERF.md round-3 #13) — non-TPU time that a per-frame
+    # call loop would book against the kernel. The reference benchmark is a
+    # continuous render loop with no per-frame readback, so batch timing is
+    # the apples-to-apples measurement; every frame's output stays
+    # data-dependent (per-frame sums are consumed).
+    nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
+
     def make_render_frame():
         def render_frame(wide_, tris_, qn_, seed):
-            def one(i):
-                return pt_sample_frame(
-                    wide_, tris_, pos, quat, jax.random.key(seed + i), w, h,
+            def sample(seed_i):
+                img, st = pt_sample_frame(
+                    wide_, tris_, pos, quat, jax.random.key(seed_i), w, h,
                     bounces=1, qnodes=qn_, leaf_k=leaf_k, stats=True,
                     tile_primary=qn_ is not None,
                 )
-            acc = jnp.zeros((h, w, 3))
-            alive = jnp.int32(0)
-            for i in range(spp):
-                img, st = one(i)
-                acc = acc + img
-                alive = alive + st["alive_rays"]
-            return jnp.sum(acc) / spp, alive
+                return jnp.sum(img), st["alive_rays"]
+
+            def frame(carry, i):
+                s, a = carry
+                acc = jnp.float32(0)
+                alive = jnp.int32(0)
+                for j in range(spp):
+                    si, ai = sample(seed + i * spp + j)
+                    acc = acc + si
+                    alive = alive + ai
+                return (s + acc / spp, a + alive), 0
+
+            (total, alive), _ = jax.lax.scan(
+                frame, (jnp.float32(0), jnp.int32(0)), jnp.arange(nb))
+            return total, alive
         return render_frame
 
     if qn is not None:
         from raytracer_tpu.ops.pallas.aot import cached_export
 
         _call = cached_export(
-            f"suite2_{w}x{h}_spp{spp}_k{leaf_k}", make_render_frame,
+            f"suite2_{w}x{h}_spp{spp}_k{leaf_k}_nb{nb}", make_render_frame,
             (jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), wide),
              jax.ShapeDtypeStruct(tris.shape, tris.dtype),
              jax.ShapeDtypeStruct(qn.shape, qn.dtype),
@@ -230,15 +247,16 @@ def config2(frames):
 
     # warm + honest alive-ray accounting (verdict r2 #2) in one call
     _, alive = render_frame(wide, tris, 0)
-    alive = int(np.asarray(alive))
+    alive = int(np.asarray(alive)) / nb
+    calls = max(1, frames // nb)
     t0 = time.perf_counter()
-    for i in range(frames):
-        v = render_frame(wide, tris, i * 100)[0]
+    for i in range(calls):
+        v = render_frame(wide, tris, (i + 1) * 1000)[0]
     _ = np.asarray(v)
-    ms = (time.perf_counter() - t0) / frames * 1e3
+    ms = (time.perf_counter() - t0) / (calls * nb) * 1e3
     # NEE shadow rays double the ray count per spp
     _emit("bunny_512_4spp_bvh4wide", w * h * spp * 2 / ms / 1e3, ms,
-          {"tris": s.num_triangles, "spp": spp,
+          {"tris": s.num_triangles, "spp": spp, "batch": nb,
            "alive_mrays_per_s": round(alive / ms / 1e3, 2)})
 
 
@@ -274,21 +292,31 @@ def config4(frames):
     if jax.default_backend() != "cpu":
         qn, leaf_k = _cluster_qnodes(wide, tris)
 
+    # on-device frame batch — one exported call per nb frames (see config2's
+    # batching note: the ~50-75 ms axon per-call boundary is not TPU time)
+    nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
+
     def make_render_frame():
         def render_frame(wide_, tris_, qn_, seed):
-            sfr, st = pt_sample_frame(
-                wide_, tris_, pos, quat, jax.random.key(seed), w, h,
-                bounces=bounces, qnodes=qn_, compact=qn is not None,
-                leaf_k=leaf_k, stats=True, tile_primary=qn is not None,
-            )
-            return jnp.sum(sfr), st["alive_rays"]
+            def frame(carry, i):
+                s, a = carry
+                sfr, st = pt_sample_frame(
+                    wide_, tris_, pos, quat, jax.random.key(seed + i), w, h,
+                    bounces=bounces, qnodes=qn_, compact=qn is not None,
+                    leaf_k=leaf_k, stats=True, tile_primary=qn is not None,
+                )
+                return (s + jnp.sum(sfr), a + st["alive_rays"]), 0
+
+            (total, alive), _ = jax.lax.scan(
+                frame, (jnp.float32(0), jnp.int32(0)), jnp.arange(nb))
+            return total, alive
         return render_frame
 
     if qn is not None:
         from raytracer_tpu.ops.pallas.aot import cached_export
 
         _call = cached_export(
-            f"suite4_{w}x{h}_b{bounces}_k{leaf_k}", make_render_frame,
+            f"suite4_{w}x{h}_b{bounces}_k{leaf_k}_nb{nb}", make_render_frame,
             (jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), wide),
              jax.ShapeDtypeStruct(tris.shape, tris.dtype),
              jax.ShapeDtypeStruct(qn.shape, qn.dtype),
@@ -304,16 +332,17 @@ def config4(frames):
             return _jit(wide_, tris_, qn, seed)
 
     _, alive = render_frame(wide, tris, 0)
-    alive = int(np.asarray(alive))
+    alive = int(np.asarray(alive)) / nb
+    calls = max(1, frames // nb)
     t0 = time.perf_counter()
-    for i in range(frames):
-        v = render_frame(wide, tris, i + 1)[0]
+    for i in range(calls):
+        v = render_frame(wide, tris, (i + 1) * 1000)[0]
     _ = np.asarray(v)
-    ms = (time.perf_counter() - t0) / frames * 1e3
+    ms = (time.perf_counter() - t0) / (calls * nb) * 1e3
     # each bounce wave traces path + shadow rays
     rays = w * h * bounces * 2
     _emit("interior_nee_4bounce", rays / ms / 1e3, ms,
-          {"tris": s.num_triangles, "bounces": bounces,
+          {"tris": s.num_triangles, "bounces": bounces, "batch": nb,
            "alive_mrays_per_s": round(alive / ms / 1e3, 2)})
 
 
@@ -379,38 +408,49 @@ def config5(frames):
         poss_j = jnp.asarray(poss)
         quats_j = jnp.asarray(quats)
 
+        # nb frames per exported call (each frame = refit + records + n_cam
+        # traces) — the per-call axon boundary is not TPU time (see config2)
+        nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
+
         def make_frame_fn():
-            def frame_fn(bounds, left, right, meta, parent, order, tris_, phase):
+            def frame_fn(bounds, left, right, meta, parent, order, tris_, phase0):
                 from raytracer_tpu.ops.cluster import ClusteredScene
                 from raytracer_tpu.ops.lbvh import LBVH2
 
-                cs_ = ClusteredScene(
-                    LBVH2(bounds_u32=bounds, left=left, right=right,
-                          meta=meta, parent=parent),
-                    tris_, order, leaf_k,
-                )
-                deformed = tris_ * (1.0 + 0.1 * jnp.sin(phase))
-                cs_r = refit_lbvh2_clustered(cs_, deformed, num_sweeps=sweeps)
-                bvh4 = (collapse_lbvh2_to_bvh4(cs_r.bvh2, sweeps=sweeps)
-                        if sweeps is not None
-                        else collapse_lbvh2_to_bvh4(cs_r.bvh2))
-                wide_ = make_wide_bvh(bvh4)
-                qn = make_qnodes(wide_, cs_r.tris_sorted,
-                                 tri_ids=cs_r.tri_order, leaf_size=leaf_k)
+                def frame(carry, i):
+                    cs_ = ClusteredScene(
+                        LBVH2(bounds_u32=bounds, left=left, right=right,
+                              meta=meta, parent=parent),
+                        tris_, order, leaf_k,
+                    )
+                    deformed = tris_ * (1.0 + 0.1 * jnp.sin(phase0 + 0.1 * i))
+                    cs_r = refit_lbvh2_clustered(cs_, deformed,
+                                                 num_sweeps=sweeps)
+                    bvh4 = (collapse_lbvh2_to_bvh4(cs_r.bvh2, sweeps=sweeps)
+                            if sweeps is not None
+                            else collapse_lbvh2_to_bvh4(cs_r.bvh2))
+                    wide_ = make_wide_bvh(bvh4)
+                    qn = make_qnodes(wide_, cs_r.tris_sorted,
+                                     tri_ids=cs_r.tri_order, leaf_size=leaf_k)
 
-                def one(pq):
-                    return jnp.sum(
-                        trace_tiles_pallas(qn, pq[0], pq[1], w, h,
-                                           leaf_k=leaf_k)[4] >= 0)
+                    def one(pq):
+                        return jnp.sum(
+                            trace_tiles_pallas(qn, pq[0], pq[1], w, h,
+                                               leaf_k=leaf_k)[4] >= 0)
 
-                return jax.lax.map(one, (poss_j, quats_j))
+                    return carry + jax.lax.map(one, (poss_j, quats_j)), 0
+
+                hits, _ = jax.lax.scan(
+                    frame, jnp.zeros((n_cam,), jnp.int32),
+                    jnp.arange(nb, dtype=jnp.float32))
+                return hits
             return frame_fn
 
         b = cs.bvh2
         fargs = (b.bounds_u32, b.left, b.right, b.meta, b.parent,
                  cs.tri_order, tris0)
         frame_call = cached_export(
-            f"suite5_refit_{w}x{h}_k{leaf_k}_c{n_cam}",
+            f"suite5_refit_{w}x{h}_k{leaf_k}_c{n_cam}_nb{nb}",
             make_frame_fn,
             tuple(jax.ShapeDtypeStruct(a.shape, a.dtype) for a in fargs)
             + (jax.ShapeDtypeStruct((), jnp.float32),),
@@ -419,6 +459,7 @@ def config5(frames):
         def frame(i):
             return frame_call(*fargs, jnp.float32(i * 0.1))
     else:
+        nb = 1
         bvh = build_lbvh2(tris0)
 
         def frame(i):
@@ -426,22 +467,29 @@ def config5(frames):
             return render_cameras_sharded(wide, tris_d, poss, quats, w, h, mesh)
 
     _ = np.asarray(frame(0)).sum()
+    calls = max(1, frames // nb)
     t0 = time.perf_counter()
-    for i in range(frames):
+    for i in range(calls):
         out = frame(i + 1)
     _ = np.asarray(out).sum()
-    ms = (time.perf_counter() - t0) / frames * 1e3
+    ms = (time.perf_counter() - t0) / (calls * nb) * 1e3
     rays = w * h * n_cam
     _emit("dynamic_refit_multicam", rays / ms / 1e3, ms,
-          {"tris": s.num_triangles, "cameras": n_cam, "devices": n_dev})
+          {"tris": s.num_triangles, "cameras": n_cam, "devices": n_dev,
+           "batch": nb})
 
 
 def config3(frames):
-    """Delegates to bench.py (the headline dragon measurement)."""
+    """Delegates to bench.py (the headline dragon measurement).
+
+    Uses bench.py's own default frame batch (32): an 8-frame batch leaves
+    ~6-9 ms/frame of axon per-call overhead inside the number (PERF.md
+    round-3 #13) — the suite must measure the same program the driver's
+    headline run does."""
     import subprocess
 
     r = subprocess.run(
-        [sys.executable, "bench.py", "--frames", str(frames)],
+        [sys.executable, "bench.py", "--frames", str(max(frames, 32))],
         capture_output=True, text=True,
     )
     sys.stderr.write(r.stderr)
