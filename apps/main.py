@@ -97,23 +97,29 @@ def main(argv=None) -> int:
     scene = _load_scene(args)
     print(f"[app] scene: {scene.num_triangles} triangles")
 
-    from raytracer_tpu.pathtracer import fast_build_options
+    from raytracer_tpu.utils.config import CameraConfig, RenderConfig
+    from raytracer_tpu.utils.profiling import FrameStats
 
-    builder, leaf = fast_build_options()
+    config = RenderConfig(
+        width=args.width, height=args.height,
+        camera=CameraConfig(position=(0.0, 0.0, 3.5)),
+    )
+    builder = leaf = None
     if args.builder != "auto":
         builder, leaf = args.builder, 1
     if args.leaf is not None:
         leaf = args.leaf
-    tracer = PathTracer(width=args.width, height=args.height,
-                        builder=builder, leaf_size=leaf)
-    camera = FPSCamera(position=(0.0, 0.0, 3.5))
+    tracer = PathTracer.from_config(config, builder=builder, leaf_size=leaf)
+    cam_cfg = config.camera
+    camera = FPSCamera(position=cam_cfg.position,
+                       move_speed=cam_cfg.move_speed,
+                       sprint_mult=cam_cfg.sprint_mult,
+                       look_sensitivity=cam_cfg.look_sensitivity,
+                       fly=cam_cfg.fly)
     tracer.set_scene(scene)
     _dump_bvh2(tracer, args.api)
 
-    import jax
-
-    last_report = time.perf_counter()
-    frames_since = 0
+    stats = FrameStats(config.width, config.height)  # 1 Hz FPS badge analog
     img = None
     t_prev = time.perf_counter()
     for frame in range(args.frames):
@@ -132,13 +138,7 @@ def main(argv=None) -> int:
 
         img = tracer.render()
         np.asarray(img[0, 0])  # force frame completion for honest pacing
-
-        frames_since += 1
-        if now - last_report >= 1.0:
-            fps = frames_since / (now - last_report)
-            rays = fps * args.width * args.height
-            print(f"[app] {fps:6.1f} FPS  ({rays/1e6:7.1f} Mrays/s)")
-            last_report, frames_since = now, 0
+        stats.tick()
 
     if img is not None:
         out = Path(args.out)

@@ -83,13 +83,30 @@ def main(argv=None) -> int:
     if args.quick or not on_tpu:
         tris_np = procgen.make_icosphere(4)
         width, height = 512, 512
+        scene = Scene().set_triangles(tris_np)
+        scene._normalize_enabled, scene._normalize_mode = True, "cube"
+        scene.normalize_mesh()
     else:
-        tris_np = procgen.make_dragon_stand_in()
+        # Benchmark THROUGH the ingest layer (verdict r3 #8): the reference's
+        # headline loads its scene via Scene.loadGLB(url, {normalize:true,
+        # mode:"cube"}) (src/main.js:20-23), so the stand-in is written to a
+        # GLB once (own writer, utils/procgen.py) and loaded via the same
+        # glTF → de-index → normalize pipeline every run.
+        from pathlib import Path
+
+        glb = Path("data/dragon_standin.glb")
+        if not glb.exists():
+            glb.parent.mkdir(parents=True, exist_ok=True)
+            t_glb = time.perf_counter()
+            procgen.write_glb(glb, procgen.make_dragon_stand_in())
+            log(f"[bench] wrote {glb} ({glb.stat().st_size / 1e6:.1f} MB) "
+                f"in {time.perf_counter() - t_glb:.1f}s (one-time)")
+        t_ing = time.perf_counter()
+        scene = Scene().load_glb(glb, normalize=True, mode="cube")
+        log(f"[bench] GLB ingest (parse+de-index+normalize): "
+            f"{time.perf_counter() - t_ing:.2f}s")
         width, height = args.width, args.height
 
-    scene = Scene().set_triangles(tris_np)
-    scene._normalize_enabled, scene._normalize_mode = True, "cube"
-    scene.normalize_mesh()
     tris = jnp.asarray(scene.triangles)
     log(f"[bench] scene: {scene.num_triangles} tris, {width}x{height}")
 
@@ -312,6 +329,16 @@ def main(argv=None) -> int:
 
     log(f"[bench] median {ms:.2f} ms/frame  {mrays:.1f} Mrays/s  {fps:.1f} FPS")
 
+    # AOT export-cache observability (verdict r3 #4): "export" > 0 means this
+    # process paid full Mosaic lowering — a fresh run right after should be
+    # all "disk" hits.
+    try:
+        from raytracer_tpu.ops.pallas.aot import CACHE_STATS
+        aot_stats = dict(CACHE_STATS)
+    except Exception:
+        aot_stats = {}
+    log(f"[bench] aot export cache: {aot_stats}")
+
     result = {
         "metric": "primary_rays_per_second_dragon_class_1080p"
         if not (args.quick or not on_tpu) else "primary_rays_per_second_quick",
@@ -330,6 +357,7 @@ def main(argv=None) -> int:
             "build_seconds_first_run": round(build_s, 2),
             "build_seconds_steady": round(build_steady_s, 3),
             "first_frame_seconds": round(first_frame_s, 2),
+            "aot_cache": aot_stats,
         },
     }
     if on_tpu:

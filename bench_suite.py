@@ -257,6 +257,8 @@ def config2(frames):
     # NEE shadow rays double the ray count per spp
     _emit("bunny_512_4spp_bvh4wide", w * h * spp * 2 / ms / 1e3, ms,
           {"tris": s.num_triangles, "spp": spp, "batch": nb,
+           "frames": calls * nb,  # actual count measured (CLI --frames
+                                  # rounds to whole nb-frame batches)
            "alive_mrays_per_s": round(alive / ms / 1e3, 2)})
 
 
@@ -343,6 +345,7 @@ def config4(frames):
     rays = w * h * bounces * 2
     _emit("interior_nee_4bounce", rays / ms / 1e3, ms,
           {"tris": s.num_triangles, "bounces": bounces, "batch": nb,
+           "frames": calls * nb,
            "alive_mrays_per_s": round(alive / ms / 1e3, 2)})
 
 
@@ -457,7 +460,11 @@ def config5(frames):
         )
 
         def frame(i):
-            return frame_call(*fargs, jnp.float32(i * 0.1))
+            # step by the whole batch span: each call's scan internally
+            # renders phases phase0 + 0.1*[0..nb), so consecutive calls must
+            # advance by nb*0.1 or they replay nb−1 of the same deformation
+            # states (ADVICE r3)
+            return frame_call(*fargs, jnp.float32(i * nb * 0.1))
     else:
         nb = 1
         bvh = build_lbvh2(tris0)
@@ -476,7 +483,7 @@ def config5(frames):
     rays = w * h * n_cam
     _emit("dynamic_refit_multicam", rays / ms / 1e3, ms,
           {"tris": s.num_triangles, "cameras": n_cam, "devices": n_dev,
-           "batch": nb})
+           "batch": nb, "frames": calls * nb})
 
 
 def config3(frames):

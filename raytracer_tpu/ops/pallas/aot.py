@@ -15,26 +15,45 @@ on the axon relay (tools/mb_results_r2.md era protocol):
   so exports must happen at the OUTERMOST jit of each production call shape,
   and callers must invoke the deserialized export directly.
 
-Keying: sha256 of (kernel source file, jax version, platform, RT_* env
-knobs, the export name, static config repr). Scene-size dependence enters
+Keying: sha256 of (the source of every module the exported program can
+reach from its call site — see :func:`module_graph_fingerprint` — plus jax
+version, platform, RT_* env knobs, the export name, arg specs, and a
+bytecode fingerprint of the built function). Scene-size dependence enters
 through the qnodes leading dim M; :func:`pad_qnodes` rounds M up to a
 bucket so one export serves every scene in the bucket (padding rows are
 unreachable — no node references them).
+
+Round-3 keyed on a WHOLE-PACKAGE source hash; the round-3 verdict showed
+that invalidates every export whenever ANY source file changes (the driver's
+post-snapshot bench paid 134 s of re-lowering). The key now hashes only the
+modules transitively reachable (via AST-parsed import statements, so lazy
+function-local imports count) from the module that builds the export —
+editing an unrelated module (a test, a tool, the viewer) no longer evicts
+the render kernels, while editing anything the program actually closes over
+still does.
 """
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import os
+import sys
 from pathlib import Path
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cached_export", "pad_qnodes", "aot_cache_dir", "source_fingerprint"]
+__all__ = ["cached_export", "pad_qnodes", "aot_cache_dir",
+           "module_graph_fingerprint", "CACHE_STATS"]
 
 _MEM: dict[str, object] = {}
+
+# observability: how each cached_export call was satisfied this process —
+# "memory" (same-process repeat), "disk" (deserialized export — the fast
+# cold path), "export" (cache miss: full lowering paid). bench.py reports it.
+CACHE_STATS = {"memory": 0, "disk": 0, "export": 0}
 
 
 def _register_pytrees() -> None:
@@ -64,32 +83,130 @@ def aot_cache_dir() -> Path:
     return Path(__file__).resolve().parents[3] / ".aot_cache"
 
 
-_SRC_FP: str | None = None
+_PKG_ROOT = Path(__file__).resolve().parents[2]   # .../raytracer_tpu
+_PKG_NAME = _PKG_ROOT.name
+
+# per-file cache: path -> (sha256 hex of bytes, frozenset of package module
+# FILES imported by it). Sources cannot change meaningfully within a process
+# (modules are already imported), so caching per path is safe.
+_FILE_INFO: dict[Path, tuple[str, frozenset[Path]]] = {}
 
 
-def source_fingerprint() -> str:
-    """Hash of everything that affects ANY traced program: every .py in the
-    package. Exported programs close over arbitrary library code
-    (render_pt, render, parallel/mesh, ...), so hashing only the kernel
-    sources would silently serve stale executables after a library edit —
-    a benchmark would A/B the OLD code. Whole-package hashing trades
-    one re-export per source change for that correctness guarantee.
-    Memoized: sources cannot change meaningfully within a process (modules
-    are already imported), and cached_export sits on per-frame paths."""
-    global _SRC_FP
-    if _SRC_FP is not None:
-        return _SRC_FP
-    pkg = Path(__file__).resolve().parents[2]
+def _resolve_import(base_file: Path, level: int, module: str | None,
+                    names: list[str]) -> list[Path]:
+    """Resolve one import statement to package source files (best effort).
+
+    ``level`` > 0 is a relative import: the anchor package directory is the
+    importing file's directory (its own package for ``__init__.py``), raised
+    ``level - 1`` more times. Absolute imports resolve only when they start
+    with the package name. ``names`` lets ``from pkg.sub import mod`` find
+    ``pkg/sub/mod.py``; unresolvable names are ignored (stdlib, third-party).
+    """
+    out: list[Path] = []
+    if level > 0:
+        base = base_file.parent
+        for _ in range(level - 1):
+            base = base.parent
+        parts = (module or "").split(".") if module else []
+    else:
+        if not module or not (module == _PKG_NAME
+                              or module.startswith(_PKG_NAME + ".")):
+            return out
+        base = _PKG_ROOT.parent
+        parts = module.split(".")
+
+    d = base
+    for p in parts:
+        d = d / p
+    candidates = [d.with_suffix(".py"), d / "__init__.py"]
+    for n in names:
+        candidates += [(d / n).with_suffix(".py"), d / n / "__init__.py"]
+    for c in candidates:
+        try:
+            if c.is_file() and _PKG_ROOT in c.parents:
+                out.append(c.resolve())
+        except OSError:
+            pass
+    return out
+
+
+def _file_info(path: Path) -> tuple[str, frozenset[Path]]:
+    """(content hash, package files imported) for one source file; imports
+    are AST-parsed so function-local (lazy) imports count too."""
+    cached = _FILE_INFO.get(path)
+    if cached is not None:
+        return cached
+    try:
+        src = path.read_bytes()
+    except OSError:
+        info = ("missing", frozenset())
+        _FILE_INFO[path] = info
+        return info
+    digest = hashlib.sha256(src).hexdigest()
+    deps: set[Path] = set()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        tree = None
+    if tree is not None:
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for alias in node.names:
+                    deps.update(_resolve_import(path, 0, alias.name, []))
+            elif isinstance(node, ast.ImportFrom):
+                deps.update(_resolve_import(
+                    path, node.level, node.module,
+                    [a.name for a in node.names]))
+    info = (digest, frozenset(deps))
+    _FILE_INFO[path] = info
+    return info
+
+
+def module_graph_fingerprint(entry_files) -> str:
+    """Hash of the sources of ``entry_files`` plus every package module
+    transitively reachable from them via import statements, along with the
+    jax version and RT_* env knobs. This is everything an exported program
+    built at those call sites can close over; a file outside the graph (a
+    test, a tool, another subsystem) cannot affect the traced program, so
+    editing it must NOT evict the export (round-3 verdict #4)."""
+    seen: set[Path] = set()
+    stack = [Path(f).resolve() for f in entry_files if f]
+    order: list[tuple[str, str]] = []
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        digest, deps = _file_info(p)
+        order.append((p.name, digest))
+        stack.extend(deps)
     h = hashlib.sha256()
-    for p in sorted(pkg.rglob("*.py")):
-        h.update(p.name.encode())
-        h.update(p.read_bytes())
+    for name, digest in sorted(order):
+        h.update(name.encode())
+        h.update(digest.encode())
     h.update(jax.__version__.encode())
     for k in sorted(os.environ):
         if k.startswith("RT_") and k != "RT_AOT_CACHE":
             h.update(f"{k}={os.environ[k]}".encode())
-    _SRC_FP = h.hexdigest()[:16]
-    return _SRC_FP
+    return h.hexdigest()[:16]
+
+
+def _entry_files_for(make_fn, fn) -> list[str]:
+    """Source files that anchor the import graph of an export: the factory's
+    defining file (the call site — bench/suite/app modules import everything
+    the program uses) and the built function's, if different. ``__main__``
+    resolves to the script path."""
+    files = []
+    for f in (make_fn, fn):
+        code = getattr(f, "__code__", None)
+        if code is not None and os.path.isfile(code.co_filename):
+            files.append(code.co_filename)
+        mod = sys.modules.get(getattr(f, "__module__", ""), None)
+        mf = getattr(mod, "__file__", None)
+        if mf and os.path.isfile(mf):
+            files.append(mf)
+    files.append(__file__)  # the cache logic itself
+    return list(dict.fromkeys(files))
 
 
 def _code_fingerprint(fn, _seen=None) -> str:
@@ -140,14 +257,17 @@ def cached_export(name: str, make_fn, arg_specs, *, platform: str | None = None)
     """
     if platform is None:
         platform = jax.default_backend()
+    fn = make_fn()
     spec_key = ",".join(
         f"{tuple(s.shape)}:{s.dtype}" for s in jax.tree.leaves(arg_specs)
     )
-    spec_key += "|" + _code_fingerprint(make_fn())
-    key = f"{name}-{platform}-{source_fingerprint()}-" + hashlib.sha256(
+    spec_key += "|" + _code_fingerprint(fn)
+    src_fp = module_graph_fingerprint(_entry_files_for(make_fn, fn))
+    key = f"{name}-{platform}-{src_fp}-" + hashlib.sha256(
         spec_key.encode()
     ).hexdigest()[:12]
     if key in _MEM:
+        CACHE_STATS["memory"] += 1
         return _MEM[key].call
 
     d = aot_cache_dir()
@@ -156,10 +276,12 @@ def cached_export(name: str, make_fn, arg_specs, *, platform: str | None = None)
     if path.exists():
         try:
             exp = jax.export.deserialize(path.read_bytes())
+            CACHE_STATS["disk"] += 1
         except Exception:
             exp = None  # version skew etc. — fall through to re-export
     if exp is None:
-        exp = jax.export.export(jax.jit(make_fn()))(*arg_specs)
+        CACHE_STATS["export"] += 1
+        exp = jax.export.export(jax.jit(fn))(*arg_specs)
         try:
             d.mkdir(parents=True, exist_ok=True)
             tmp = path.with_suffix(".tmp")

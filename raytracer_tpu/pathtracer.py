@@ -22,8 +22,6 @@ TPU-native differences (deliberate redesigns, SURVEY.md §7):
 
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +39,7 @@ from .ops.pallas.traverse import make_qnodes, trace_tiles_pallas, TILE
 from .ops.shade import present_frame, quantize_rgba8, shade_lambert
 from .ops.trace import make_wide_bvh
 from .render import render_frame_u8, render_ldr, render_ldr_brute
+from .utils.profiling import PhaseTimer
 
 __all__ = ["PathTracer", "fast_build_options"]
 
@@ -84,6 +83,26 @@ def _default_tetrahedron() -> np.ndarray:
 
 class PathTracer:
     """Scene + camera + BVH state and the per-frame render entry point."""
+
+    @classmethod
+    def from_config(cls, config=None, *, builder: str | None = None,
+                    leaf_size: int | None = None) -> "PathTracer":
+        """Construct from a utils.config.RenderConfig (SURVEY.md §5.6's
+        one-dataclass flag system; defaults are reference-identical).
+        ``builder``/``leaf_size`` default to the fastest available on this
+        backend (fast_build_options)."""
+        from .utils.config import DEFAULT_CONFIG
+
+        cfg = config or DEFAULT_CONFIG
+        auto_builder, auto_leaf = fast_build_options()
+        pt = cls(
+            width=cfg.width, height=cfg.height, widener=cfg.widener,
+            builder=builder if builder is not None else auto_builder,
+            leaf_size=leaf_size if leaf_size is not None else auto_leaf,
+        )
+        pt.fov_degrees = cfg.fov_degrees
+        pt.config = cfg
+        return pt
 
     def __init__(self, width: int = 1920, height: int = 1080,
                  widener: str = "collapse", builder: str = "lbvh",
@@ -172,13 +191,14 @@ class PathTracer:
         }[self.widener](bvh2)
 
     def build_bvh(self, triangles) -> None:
-        """Full on-device build with the reference's phase timing report."""
+        """Full on-device build with the reference's phase timing report
+        (PathTracer.js:745-748), timed via utils.profiling.PhaseTimer."""
         tris = np.asarray(triangles, dtype=np.float32)
         if tris.ndim == 1:
             tris = tris.reshape(-1, 3, 3)
         self.triangles_data = tris
         n = len(tris)
-        t_start = time.perf_counter()
+        timer = PhaseTimer()
 
         self._tris_dev = jnp.asarray(tris)
         if n == 0:
@@ -187,33 +207,32 @@ class PathTracer:
             self.build_stats = {"num_triangles": 0, "total_ms": 0.0}
             return
 
-        t0 = time.perf_counter()
         self._bvh2_height = None
         self._cluster = None
-        if self.leaf_size > 1 and self.builder == "sah":
-            from .ops.cluster import build_sah2_clustered
+        with timer.phase("lbvh2_ms"):
+            if self.leaf_size > 1 and self.builder == "sah":
+                from .ops.cluster import build_sah2_clustered
 
-            self._cluster, self._bvh2_height = build_sah2_clustered(
-                self._tris_dev, self.leaf_size)
-            self._bvh2 = self._cluster.bvh2
-        elif self.leaf_size > 1:
-            from .ops.cluster import build_lbvh2_clustered
+                self._cluster, self._bvh2_height = build_sah2_clustered(
+                    self._tris_dev, self.leaf_size)
+                self._bvh2 = self._cluster.bvh2
+            elif self.leaf_size > 1:
+                from .ops.cluster import build_lbvh2_clustered
 
-            self._cluster = build_lbvh2_clustered(self._tris_dev,
-                                                  self.leaf_size)
-            self._bvh2 = self._cluster.bvh2
-        elif self.builder == "ploc":
-            from .ops.ploc import build_ploc2
+                self._cluster = build_lbvh2_clustered(self._tris_dev,
+                                                      self.leaf_size)
+                self._bvh2 = self._cluster.bvh2
+            elif self.builder == "ploc":
+                from .ops.ploc import build_ploc2
 
-            self._bvh2 = build_ploc2(self._tris_dev)
-        elif self.builder == "sah":
-            from .ops.lbvh import build_sah2
+                self._bvh2 = build_ploc2(self._tris_dev)
+            elif self.builder == "sah":
+                from .ops.lbvh import build_sah2
 
-            self._bvh2, self._bvh2_height = build_sah2(tris)
-        else:
-            self._bvh2 = build_lbvh2(self._tris_dev)
-        jax.block_until_ready(self._bvh2.bounds_u32)
-        t1 = time.perf_counter()
+                self._bvh2, self._bvh2_height = build_sah2(tris)
+            else:
+                self._bvh2 = build_lbvh2(self._tris_dev)
+            jax.block_until_ready(self._bvh2.bounds_u32)
 
         if (self._use_pallas and self._cluster is not None
                 and self.widener == "collapse"):
@@ -221,32 +240,30 @@ class PathTracer:
             # AOT-exported program; _bvh4/_wide stay lazy (see properties)
             self._bvh4 = None
             self._wide = None
-            t2 = time.perf_counter()
-            from .ops.cluster import records_pipeline
+            timer.phases["collapse_ms"] = 0.0
+            with timer.phase("widen_ms"):
+                from .ops.cluster import records_pipeline
 
-            self._qnodes = records_pipeline(self._cluster,
-                                            height=self._bvh2_height)
-            jax.block_until_ready(self._qnodes)
-            t3 = time.perf_counter()
+                self._qnodes = records_pipeline(self._cluster,
+                                                height=self._bvh2_height)
+                jax.block_until_ready(self._qnodes)
         else:
-            self._bvh4 = self._widen(self._bvh2)
-            jax.block_until_ready(self._bvh4.bounds_u32)
-            t2 = time.perf_counter()
+            with timer.phase("collapse_ms"):
+                self._bvh4 = self._widen(self._bvh2)
+                jax.block_until_ready(self._bvh4.bounds_u32)
 
-            self._wide = make_wide_bvh(self._bvh4)
-            self._qnodes = self._make_qnodes()
-            jax.block_until_ready(self._qnodes)
-            t3 = time.perf_counter()
+            with timer.phase("widen_ms"):
+                self._wide = make_wide_bvh(self._bvh4)
+                self._qnodes = self._make_qnodes()
+                jax.block_until_ready(self._qnodes)
 
         self.build_stats = {
             "num_triangles": n,
             "num_nodes2": self._bvh2.num_nodes,
             "num_nodes4": (int(self._bvh4_c.num_nodes)
                            if self._bvh4_c is not None else None),
-            "lbvh2_ms": (t1 - t0) * 1e3,
-            "collapse_ms": (t2 - t1) * 1e3,
-            "widen_ms": (t3 - t2) * 1e3,
-            "total_ms": (t3 - t_start) * 1e3,
+            **timer.to_dict(),
+            "total_ms": timer.total_ms(),
         }
         # the reference's console report (PathTracer.js:745-748)
         print(f"LBVH2 Build Time: {self.build_stats['lbvh2_ms']:.2f} ms")

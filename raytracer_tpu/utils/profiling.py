@@ -50,10 +50,14 @@ class PhaseTimer:
         sync(*sync_arrays)
         self.phases[name] = (time.perf_counter() - t0) * 1e3
 
+    def total_ms(self) -> float:
+        """Wall time since construction — the build's end-to-end total."""
+        return (time.perf_counter() - self._t0) * 1e3
+
     def report(self, prefix: str = "") -> None:
         for name, ms in self.phases.items():
             print(f"{prefix}{name}: {ms:.2f} ms")
-        print(f"{prefix}total: {(time.perf_counter() - self._t0) * 1e3:.2f} ms")
+        print(f"{prefix}total: {self.total_ms():.2f} ms")
 
     def to_dict(self) -> dict:
         return dict(self.phases)

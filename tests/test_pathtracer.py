@@ -170,3 +170,23 @@ def test_fast_build_options_cpu():
 
     builder, leaf = fast_build_options()
     assert (builder, leaf) == ("lbvh", 1)
+
+
+def test_from_config_and_phase_timer():
+    """RenderConfig drives construction (SURVEY.md §5.6) and build timing is
+    produced by utils.profiling.PhaseTimer (§5.1) — both wired, not padded."""
+    from raytracer_tpu.utils.config import CameraConfig, RenderConfig
+
+    cfg = RenderConfig(width=32, height=16, fov_degrees=60.0,
+                       camera=CameraConfig(position=(0.0, 0.0, 2.0)))
+    pt = PathTracer.from_config(cfg)
+    assert (pt.width, pt.height) == (32, 16)
+    assert pt.fov_degrees == 60.0
+    assert pt.config is cfg
+
+    pt.build_bvh(procgen.make_icosphere(1))
+    # PhaseTimer-sourced build stats (reference report PathTracer.js:745-748)
+    for key in ("lbvh2_ms", "collapse_ms", "widen_ms", "total_ms"):
+        assert key in pt.build_stats and pt.build_stats[key] >= 0.0
+    img = np.asarray(pt.render())
+    assert img.shape == (16, 32, 4)

@@ -1,8 +1,13 @@
-"""Packet-visit census for config-4 waves (host-side, exact semantics).
+"""Packet-visit census for config-4 waves (host-side simulation).
 
 Simulates the ray-buffer kernel's per-stream packet traversal in NumPy:
 a stream visits a node iff ANY of its lanes passes the slab test (the
-block-shared-stack bet). Reports, per wave type and stream width:
+block-shared-stack bet), INCLUDING the per-lane best-t cull
+(`tmin < best` with best shrinking as leaf MTs accept — traverse.py:313)
+and the near-first child ordering, applied to both the tree walk and the
+flat sweep so the comparison is unbiased (ADVICE r3). Semantics are close
+to the kernel's but not bit-exact (scalar cull metric approximated by
+mean-direction ordering). Reports, per wave type and stream width:
 
   * tree visits/stream (what the kernel pays today)
   * leaf slots MT'd under the tree vs under a flat leaf-only sweep
@@ -106,14 +111,37 @@ WAVES = {
 }
 
 
-def slab_any(box, o_, d_):
-    """True iff any lane's slab test passes (tmax>=max(tmin,0), tmin<INF)."""
-    inv = np.where(np.abs(d_) > 1e-8, 1.0 / d_, 1e30)
+def slab_mask(box, o_, inv, best):
+    """Per-lane slab pass with the kernel's best-t cull:
+    (tmax >= max(tmin,0)) & (tmin < best) — traverse.py:313 semantics."""
     t1 = (box[:3] - o_) * inv
     t2 = (box[3:] - o_) * inv
     tmin = np.minimum(t1, t2).max(axis=-1)
     tmax = np.maximum(t1, t2).min(axis=-1)
-    return bool(np.any(tmax >= np.maximum(tmin, 0.0)))
+    return (tmax >= np.maximum(tmin, 0.0)) & (tmin < best)
+
+
+def mt_best(nd, k, o_, d_, best):
+    """Möller–Trumbore the K triangles of leaf slot (nd,k) on all lanes and
+    return the shrunken per-lane best-t — the kernel's hit-state update that
+    makes later slab tests cull (the census previously omitted this, which
+    overstated visits asymmetrically in favor of the flat sweep — ADVICE r3)."""
+    recs = qn[nd, vbase + k * K * 12: vbase + (k + 1) * K * 12].reshape(K, 12)
+    cnt = int(qn[nd, 28 + k])
+    for j in range(cnt):
+        v0, e1, e2 = recs[j, 0:3], recs[j, 3:6], recs[j, 6:9]
+        pvec = np.cross(d_, e2)
+        det = pvec @ e1
+        ok = np.abs(det) >= 1e-7
+        inv_det = 1.0 / np.where(ok, det, 1.0)
+        s_ = o_ - v0
+        u = inv_det * np.sum(s_ * pvec, -1)
+        qvec = np.cross(s_, e1)
+        v = inv_det * np.sum(d_ * qvec, -1)
+        t = inv_det * (qvec @ e2)
+        upd = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 1e-7) & (t < best)
+        best = np.where(upd, t, best)
+    return best
 
 
 for sub in (16,):
@@ -126,27 +154,41 @@ for sub in (16,):
         cnt = 0
         for si in range(0, nstream, step):
             so, sd = o_[si * lanes:(si + 1) * lanes], d_[si * lanes:(si + 1) * lanes]
-            # tree walk
+            inv = np.where(np.abs(sd) > 1e-8, 1.0 / sd, 1e30)
+            # tree walk — near-first child order + per-lane best-t tracking
+            # (the kernel's actual cull; a flat far-first order would
+            # understate the depth-first traversal's best-t benefit)
+            best = np.full(lanes, 1e30, np.float32)
             stack = [0]
             visits = 0
             leaf_mt = 0
             while stack:
                 nd = stack.pop()
                 visits += 1
+                kids = []
                 for k in range(4):
-                    if not slab_any(boxes[nd, k], so, sd):
+                    if not bool(np.any(slab_mask(boxes[nd, k], so, inv, best))):
                         continue
                     if is_int[nd, k]:
-                        stack.append(int(refs[nd, k]))
+                        proj = (boxes[nd, k, :3] + boxes[nd, k, 3:]) * 0.5 - so.mean(0)
+                        kids.append((float(proj @ sd.mean(0)), int(refs[nd, k])))
                     elif is_leaf[nd, k]:
                         leaf_mt += 1
+                        best = mt_best(nd, k, so, sd, best)
+                # push far→near so nearest pops first (kernel's sort)
+                for _, child in sorted(kids, key=lambda x: -x[0]):
+                    stack.append(child)
             tv += visits
             lv += leaf_mt
-            # flat sweep: every leaf slot slab-tested
+            # flat sweep: every leaf slot slab-tested, with the SAME best-t
+            # shrink applied in sweep order (sequential record order)
+            bsw = np.full(lanes, 1e30, np.float32)
             for nd in range(M):
                 for k in range(4):
-                    if is_leaf[nd, k] and slab_any(boxes[nd, k], so, sd):
+                    if is_leaf[nd, k] and bool(np.any(
+                            slab_mask(boxes[nd, k], so, inv, bsw))):
                         sweep_mt += 1
+                        bsw = mt_best(nd, k, so, sd, bsw)
             cnt += 1
         print(f"sub={sub} {name:15s} tree visits/stream={tv/cnt:6.1f}  "
               f"leafMT/stream tree={lv/cnt:6.1f} sweep={sweep_mt/cnt:6.1f} "
