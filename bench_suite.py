@@ -80,7 +80,10 @@ def config1(frames):
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
         from raytracer_tpu.ops.pallas.aot import cached_export
-        from raytracer_tpu.ops.pallas.traverse import make_qnodes, trace_tiles_pallas
+        from raytracer_tpu.ops.pallas.traverse import (
+            make_qnodes,
+            trace_tiles_batch_pallas,
+        )
 
         qn = make_qnodes(wide, tris)
 
@@ -91,11 +94,14 @@ def config1(frames):
 
         def make_render_n():
             def render_n(qn_, poss_):
-                return jax.lax.map(
-                    lambda p: jnp.sum(
-                        trace_tiles_pallas(qn_, p, quat, w, h)[4] >= 0),
-                    poss_,
-                )
+                # ONE kernel call renders the whole frame batch from a
+                # shared tile queue — per-call dispatch (~0.3-0.5 ms) was
+                # half this config's frame time (verdict r3 #9); raw layout
+                # keeps the count reduction transpose-free
+                quats = jnp.broadcast_to(jnp.asarray(quat), (n_batch, 4))
+                out = trace_tiles_batch_pallas(qn_, poss_, quats, w, h,
+                                               raw=True)
+                return jnp.sum(out[:, :, 4] >= 0, axis=(1, 2, 3))
             return render_n
 
         render_call = cached_export(
@@ -395,7 +401,10 @@ def config5(frames):
             refit_lbvh2_clustered,
         )
         from raytracer_tpu.ops.pallas.aot import cached_export
-        from raytracer_tpu.ops.pallas.traverse import make_qnodes, trace_tiles_pallas
+        from raytracer_tpu.ops.pallas.traverse import (
+            make_qnodes,
+            trace_tiles_batch_pallas,
+        )
 
         leaf_k = int(os.environ.get("RT_SUITE_LEAF", "32"))
         sweeps = None
@@ -420,32 +429,42 @@ def config5(frames):
                 from raytracer_tpu.ops.cluster import ClusteredScene
                 from raytracer_tpu.ops.lbvh import LBVH2
 
-                def frame(carry, i):
+                def refit_one(phase):
+                    """Full per-frame rebuild chain → supernode records."""
                     cs_ = ClusteredScene(
                         LBVH2(bounds_u32=bounds, left=left, right=right,
                               meta=meta, parent=parent),
                         tris_, order, leaf_k,
                     )
-                    deformed = tris_ * (1.0 + 0.1 * jnp.sin(phase0 + 0.1 * i))
+                    deformed = tris_ * (1.0 + 0.1 * jnp.sin(phase))
                     cs_r = refit_lbvh2_clustered(cs_, deformed,
                                                  num_sweeps=sweeps)
                     bvh4 = (collapse_lbvh2_to_bvh4(cs_r.bvh2, sweeps=sweeps)
                             if sweeps is not None
                             else collapse_lbvh2_to_bvh4(cs_r.bvh2))
                     wide_ = make_wide_bvh(bvh4)
-                    qn = make_qnodes(wide_, cs_r.tris_sorted,
-                                     tri_ids=cs_r.tri_order, leaf_size=leaf_k)
+                    return make_qnodes(wide_, cs_r.tris_sorted,
+                                       tri_ids=cs_r.tri_order,
+                                       leaf_size=leaf_k)
 
-                    def one(pq):
-                        return jnp.sum(
-                            trace_tiles_pallas(qn, pq[0], pq[1], w, h,
-                                               leaf_k=leaf_k)[4] >= 0)
+                # the refit→collapse→widen→records chain is ~5 ms of SMALL
+                # ops per frame (PERF.md r3 #10) — vmap it across the whole
+                # batch so every op runs nb× wider, then trace frames off
+                # the stacked qnodes (trees here are tiny: nb copies fit)
+                qn_all = jax.vmap(refit_one)(
+                    phase0 + 0.1 * jnp.arange(nb, dtype=jnp.float32))
 
-                    return carry + jax.lax.map(one, (poss_j, quats_j)), 0
+                def frame(carry, qn):
+                    # all n_cam cameras through ONE kernel call (shared tile
+                    # queue) — the per-camera dispatch overhead dominated at
+                    # 256² (verdict r3 #3)
+                    out = trace_tiles_batch_pallas(qn, poss_j, quats_j, w, h,
+                                                   leaf_k=leaf_k, raw=True)
+                    return carry + jnp.sum(out[:, :, 4] >= 0,
+                                           axis=(1, 2, 3)), 0
 
                 hits, _ = jax.lax.scan(
-                    frame, jnp.zeros((n_cam,), jnp.int32),
-                    jnp.arange(nb, dtype=jnp.float32))
+                    frame, jnp.zeros((n_cam,), jnp.int32), qn_all)
                 return hits
             return frame_fn
 

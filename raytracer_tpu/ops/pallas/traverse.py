@@ -82,8 +82,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..camera import subpixel_hash01
 from ..trace import WideBVH
 
-__all__ = ["make_qnodes", "trace_tiles_pallas", "trace_rays_pallas", "TILE",
-           "REC", "rec_layout"]
+__all__ = ["make_qnodes", "trace_tiles_pallas", "trace_tiles_batch_pallas",
+           "trace_rays_pallas", "TILE", "REC", "rec_layout"]
 
 TILE = int(os.environ.get("RT_TILE", "32"))  # pixels per tile side; TILE² rays per stream
 _ABLATE = os.environ.get("RT_ABLATE", "")  # perf ablations: "nomt", "noslab"
@@ -236,10 +236,10 @@ class _Stream:
                  order_o, entry, write, read, any_hit=False):
         self._dirs = dirs
         self._invs = invs
-        self.ox, self.oy, self.oz = origin       # scalars or (SUB,128)
+        self._origin = origin                    # triple (scalars/(SUB,128)) or thunk
         self.order_slack = order_slack           # origin-AABB radius (0 = point)
         self._order_d = order_d                  # scalar UNIT ordering ray dir
-        self.order_o = order_o
+        self._order_o = order_o                  # triple or thunk
         self.entry = entry                       # scalar entry node index
         self.write = write                       # write(field, value)
         self.read = read                         # read(field) -> tile
@@ -254,22 +254,32 @@ class _Stream:
     def order_d(self):
         return self._order_d() if callable(self._order_d) else self._order_d
 
+    def origin(self):
+        return self._origin() if callable(self._origin) else self._origin
+
+    def order_o(self):
+        return self._order_o() if callable(self._order_o) else self._order_o
+
     def read_t(self):
         return self.read("t")
 
 
 def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
-             leaf_k: int = 1):
+             leaf_k: int = 1, rd=None):
     """Consume stream ``s``'s fetched record: MT its leaf children, slab-
     test its internal children, push survivors near-first. Runs under
-    pl.when(pending) — the record DMA has already been waited on."""
+    pl.when(pending) — the record DMA has already been waited on.
+
+    ``rd`` overrides the record-word reader: the SMEM-resident-tree path
+    reads record words straight out of the tree array (no per-visit DMA)."""
     f32 = jnp.float32
     vbase, ibase, _ = rec_layout(leaf_k)
     sp = istate_scr[_SP, s]
 
-    def rd(w):
-        """Scalar read of record word ``w`` (static) from stream s's SMEM."""
-        return node_scr[s, w // 128, w % 128]
+    if rd is None:
+        def rd(w):
+            """Scalar read of record word ``w`` (static) from stream s's SMEM."""
+            return node_scr[s, w // 128, w % 128]
 
     best0 = st.read_t()
     maxb2 = maxb_scr[s, 1]
@@ -277,15 +287,14 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
     push_ref = [jnp.int32(0)] * 4
     push_dist = [f32(0.0)] * 4
     push_internal = [jnp.bool_(False)] * 4
-    push_order = [f32(0.0)] * 4
 
     dx, dy, dz = st.dirs()
     # lane-tile shape comes from the stream (the ray-buffer kernel supports
     # wider-than-SUB streams for divergent waves)
     accs = [jnp.zeros(dx.shape, jnp.int32), jnp.zeros(dx.shape, jnp.int32)]
     ix, iy, iz = st.invs()
-    ox, oy, oz = st.ox, st.oy, st.oz
-    (odx, ody, odz), (oox, ooy, ooz) = st.order_d(), st.order_o
+    ox, oy, oz = st.origin()
+    (odx, ody, odz), (oox, ooy, ooz) = st.order_d(), st.order_o()
 
     refcs = [rd(24 + k) for k in range(4)]
     leaf_flags = [(refcs[k] < 0.0) & (refcs[k] > f32(EMPTY_REF)) for k in range(4)]
@@ -315,21 +324,25 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
         shift = 16 * (k // 2)
         accs[k % 2] = accs[k % 2] + jnp.where(hit, jnp.int32(1) << shift, 0)
 
-        # near-first ordering: box center projected on the stream ray
+        # near-first ordering: box center projected on the stream ray.
+        # The push/sort/cull key is the UNCLAMPED conservative bound
+        # proj − r − slack (any hit t ≥ max(key, 0)): since the cull
+        # threshold maxb is > 0 whenever entries matter (closest-hit maxb
+        # is INF or a positive best-t; any-hit maxb = 0 flushes the whole
+        # stack at pop time), ``key < maxb ⟺ max(key,0) < maxb`` — the
+        # clamp and the separate sort field it forced are dead weight
+        # (~15 scalar ops/visit).
         proj = (
             ((mnx + mxx) * 0.5 - oox) * odx
             + ((mny + mxy) * 0.5 - ooy) * ody
             + ((mnz + mxz) * 0.5 - ooz) * odz
         )
-        # conservative cull bound: any hit t ≥ |box center − origin|
-        # − box radius − origin-AABB radius ≥ proj − r − slack
         r = rd(28 + k)
-        dist_lb = jnp.maximum(proj - r - st.order_slack, f32(0.0))
+        key = proj - r - st.order_slack
 
         push_ref[k] = refc.astype(jnp.int32)
-        push_dist[k] = dist_lb
-        push_order[k] = proj
-        push_internal[k] = is_internal & (dist_lb < maxb2)
+        push_dist[k] = key
+        push_internal[k] = is_internal & (key < maxb2)
 
     # the two lane reductions of this visit (slot-hit counts)
     if "noreduce" in _ABLATE:
@@ -450,23 +463,21 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
 
     # sorting network: children fully sorted, nearest pushed last so it
     # pops first (a WGSL-style nearest-only partial sort was measured
-    # slower end-to-end: +12% visits for the ~20 ns/visit it saves)
-    refs, dists, orders, oks = push_ref, push_dist, push_order, push_ok
+    # slower end-to-end: +12% visits for the ~20 ns/visit it saves).
+    # Sorted directly on the push/cull key — rejected slots sink via -INF
+    # masking (and land on the dump row regardless).
+    refs, dists, oks = push_ref, push_dist, push_ok
     f32 = jnp.float32
 
     def swap_if(a, b):
-        da = jnp.where(oks[a], orders[a], f32(-INF))
-        db = jnp.where(oks[b], orders[b], f32(-INF))
+        da = jnp.where(oks[a], dists[a], f32(-INF))
+        db = jnp.where(oks[b], dists[b], f32(-INF))
         pred = da < db
         refs[a], refs[b] = (
             jnp.where(pred, refs[b], refs[a]),
             jnp.where(pred, refs[a], refs[b]),
         )
-        dists[a], dists[b] = (
-            jnp.where(pred, dists[b], dists[a]),
-            jnp.where(pred, dists[a], dists[b]),
-        )
-        orders[a], orders[b] = jnp.where(pred, db, da), jnp.where(pred, da, db)
+        dists[a], dists[b] = jnp.where(pred, db, da), jnp.where(pred, da, db)
         oks[a], oks[b] = (
             jnp.where(pred, oks[b], oks[a]),
             jnp.where(pred, oks[a], oks[b]),
@@ -492,12 +503,18 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
 
 
 def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
-                      maxb_scr, istate_scr, sems, leaf_k=1):
+                      maxb_scr, istate_scr, sems, leaf_k=1,
+                      direct: bool = False):
     """Round-robin multi-stream traversal loop for a FIXED set of streams
     (the ray-buffer kernel). Per-stream mutable state lives in SMEM so the
     whole consume step can sit behind ``pl.when`` — a drained or cull-skipped
     stream costs only a scalar branch per iteration, not the full vector
-    consume."""
+    consume.
+
+    ``direct=True`` (SMEM-resident tree): ``qnodes_ref`` IS scalar-
+    addressable, so record words are read straight out of it per visit —
+    no per-visit DMA exists at all. The popped node index is carried in
+    ``istate_scr[_CURTILE]`` (unused by this kernel otherwise)."""
     f32 = jnp.float32
     ns = len(streams)
 
@@ -515,23 +532,32 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
         istate_scr[_SP, s] = jnp.int32(0)   # sp: entry sits at slot 0
         istate_scr[_PEND, s] = jnp.int32(0)
         istate_scr[_VISITS, s] = jnp.int32(0)
+        istate_scr[_CURTILE, s] = jnp.int32(0)
 
     def fetch(s, node):
         return pltpu.make_async_copy(qnodes_ref.at[node], node_scr.at[s], sems.at[s])
 
     # prologue: dummy fetch per stream so the loop's wait is always paired
-    for s in range(ns):
-        fetch(s, 0).start()
+    if not direct:
+        for s in range(ns):
+            fetch(s, 0).start()
 
     def body(_):
         cont = jnp.bool_(False)
         for s in range(ns):
-            fetch(s, 0).wait()
+            if direct:
+                node_cur = istate_scr[_CURTILE, s]
+
+                def rd(w, s=s, node_cur=node_cur):
+                    return qnodes_ref[node_cur, w // 128, w % 128]
+            else:
+                fetch(s, 0).wait()
+                rd = None
 
             @pl.when(istate_scr[_PEND, s] != 0)
-            def _(s=s):
+            def _(s=s, rd=rd):
                 _consume(s, streams[s], node_scr, stack_n, stack_d,
-                         maxb_scr, istate_scr, leaf_k)
+                         maxb_scr, istate_scr, leaf_k, rd=rd)
 
             # branchless double-pop: a culled top entry costs only scalar
             # work here instead of a whole idle iteration slot (~330 ns) —
@@ -552,7 +578,10 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
             valid2 = take2 & (stack_d[s, spc2] < mb)
             node = jnp.where(valid, stack_n[s, spc],
                              jnp.where(valid2, stack_n[s, spc2], 0))
-            fetch(s, node).start()
+            if direct:
+                istate_scr[_CURTILE, s] = node
+            else:
+                fetch(s, node).start()
             sp_next = jnp.where(live, jnp.where(take2, sp - 2, sp - 1), sp)
             istate_scr[_SP, s] = sp_next
             istate_scr[_PEND, s] = (valid | valid2).astype(jnp.int32)
@@ -562,8 +591,9 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
     jax.lax.while_loop(lambda c: c, body, jnp.bool_(True))
 
     # epilogue: every stream has one outstanding (dummy) fetch
-    for s in range(ns):
-        fetch(s, 0).wait()
+    if not direct:
+        for s in range(ns):
+            fetch(s, 0).wait()
 
 
 def _rotate_quat(qx, qy, qz, qw, dx, dy, dz):
@@ -584,14 +614,15 @@ def _rotate_quat(qx, qy, qz, qw, dx, dy, dz):
 
 def _persistent_kernel(
     use_jitter,         # static python bool — gates PRNG tracing
-    num_tiles,          # static python int — T
+    num_tiles,          # static python int — total queue length = F · tiles/frame
     ntx,                # static python int — tiles per row
     leaf_k,             # static python int — triangles per leaf record slot
-    cam_ref,            # SMEM (16,) f32: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H, seed, roff, coff
-    entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes
+    tiles_per_frame,    # static python int — tiles in one frame (nty·ntx)
+    cam_ref,            # SMEM (F, 16) f32 per frame: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H, seed, roff, coff
+    entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes (shared across frames)
     tbound_ref,         # SMEM (nty, ntx) f32 — per-tile initial far bound (INF = none)
     qnodes_ref,         # HBM (M, 128) f32
-    out_ref,            # HBM (T, 6, SUB, 128) f32 — planes t,nx,ny,nz,tri,visits
+    out_ref,            # HBM (F·T, 6, SUB, 128) f32 — planes t,nx,ny,nz,tri,visits
     ray_scr,            # VMEM (NS, 6, SUB, 128) f32 — dx,dy,dz,ix,iy,iz
     hit_scr,            # VMEM (NS, 6, SUB, 128) f32 — live hit state
     stage_scr,          # VMEM (NS, 2, 6, SUB, 128) f32 — out staging (dbl-buf)
@@ -600,22 +631,31 @@ def _persistent_kernel(
     osems,              # DMA (NS, 2) out-copy per staging buffer
 ):
     """Primary-ray kernel: ONE program, NS persistent streams popping tiles
-    from a shared dynamic work queue (SMEM next-tile counter)."""
-    f32 = jnp.float32
+    from a shared dynamic work queue (SMEM next-tile counter).
 
-    ox, oy, oz = cam_ref[0], cam_ref[1], cam_ref[2]
-    qx, qy, qz, qw = cam_ref[3], cam_ref[4], cam_ref[5], cam_ref[6]
-    focal, aspect = cam_ref[7], cam_ref[8]
-    width, height = cam_ref[9], cam_ref[10]
-    seed = cam_ref[11].astype(jnp.int32)
-    row_off = cam_ref[12].astype(jnp.int32)
-    col_off = cam_ref[13].astype(jnp.int32)
+    The queue spans a whole FRAME BATCH: tile id t belongs to frame
+    t // tiles_per_frame and in-frame tile t % tiles_per_frame, with per-
+    frame camera rows in ``cam_ref``. One kernel call renders all F frames —
+    at small resolutions the per-call dispatch/prologue cost (~0.3-0.5 ms)
+    otherwise dominates (config 1 was relay-dispatch bound, PERF.md #10) —
+    and streams flow straight across frame boundaries with zero idling."""
+    f32 = jnp.float32
 
     def raygen(s, tile):
         """Fused ray generation (renderer.wgsl:364-396) for tile ``tile``
         into stream ``s``'s scratch; seeds the stack with the tile entry."""
-        ti = tile // ntx
-        tj = tile - ti * ntx
+        fidx = tile // tiles_per_frame
+        rem = tile - fidx * tiles_per_frame
+        ox, oy, oz = cam_ref[fidx, 0], cam_ref[fidx, 1], cam_ref[fidx, 2]
+        qx, qy, qz, qw = (cam_ref[fidx, 3], cam_ref[fidx, 4],
+                          cam_ref[fidx, 5], cam_ref[fidx, 6])
+        focal, aspect = cam_ref[fidx, 7], cam_ref[fidx, 8]
+        width, height = cam_ref[fidx, 9], cam_ref[fidx, 10]
+        seed = cam_ref[fidx, 11].astype(jnp.int32)
+        row_off = cam_ref[fidx, 12].astype(jnp.int32)
+        col_off = cam_ref[fidx, 13].astype(jnp.int32)
+        ti = rem // ntx
+        tj = rem - ti * ntx
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0)
         c_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
         lane = r_ids * 128 + c_ids
@@ -654,6 +694,11 @@ def _persistent_kernel(
         fstate_scr[0, s] = dcx
         fstate_scr[1, s] = dcy
         fstate_scr[2, s] = dcz
+        # per-stream camera origin (frames in one batch have different
+        # cameras, so the origin can no longer be a kernel-level constant)
+        fstate_scr[3, s] = ox
+        fstate_scr[4, s] = oy
+        fstate_scr[5, s] = oz
 
         # reset hit state + stack. A finite per-tile depth bound (from a
         # coarse prepass — see render.py::render_ldr_bounded) seeds best-t
@@ -695,14 +740,17 @@ def _persistent_kernel(
 
             def order_d():
                 return fstate_scr[0, s], fstate_scr[1, s], fstate_scr[2, s]
-            return dirs, invs, order_d
 
-        dirs_fn, invs_fn, order_fn = make_loaders()
+            def origin():
+                return fstate_scr[3, s], fstate_scr[4, s], fstate_scr[5, s]
+            return dirs, invs, order_d, origin
+
+        dirs_fn, invs_fn, order_fn, origin_fn = make_loaders()
         w, r = make_rw()
         streams.append(_Stream(
-            dirs=dirs_fn, invs=invs_fn, origin=(ox, oy, oz),
+            dirs=dirs_fn, invs=invs_fn, origin=origin_fn,
             order_slack=jnp.float32(0.0), order_d=order_fn,
-            order_o=(ox, oy, oz), entry=jnp.int32(0), write=w, read=r,
+            order_o=origin_fn, entry=jnp.int32(0), write=w, read=r,
         ))
 
     def fetch(s, node):
@@ -814,8 +862,9 @@ def _persistent_kernel(
 def _raybuf_kernel(
     any_hit,                                           # static python bool
     leaf_k,                                            # static python int
+    direct,                                            # static python bool — SMEM-resident tree
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM (NS,SUB,128)
-    qnodes_ref,                                        # HBM (M, 128)
+    qnodes_ref,                                        # HBM/VMEM/SMEM (M, R, 128)
     t_out, nx_out, ny_out, nz_out, tri_out,           # VMEM (NS,SUB,128)
     node_scr, stack_n, stack_d, maxb_scr, istate_scr, sems,
 ):
@@ -872,7 +921,7 @@ def _raybuf_kernel(
         ))
 
     _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
-                      maxb_scr, istate_scr, sems, leaf_k)
+                      maxb_scr, istate_scr, sems, leaf_k, direct=direct)
 
 
 # ---------------------------------------------------------------------------
@@ -900,7 +949,7 @@ def _persistent_scratch_shapes(recw=REC):
         pltpu.SMEM((NS, STACK_MAX + 1), jnp.float32),
         pltpu.SMEM((NS, 2), jnp.float32),
         pltpu.SMEM((8, NS), jnp.int32),
-        pltpu.SMEM((4, NS), jnp.float32),
+        pltpu.SMEM((8, NS), jnp.float32),   # fstate: order dir (0-2) + origin (3-5)
         pltpu.SemaphoreType.DMA((NS,)),
         pltpu.SemaphoreType.DMA((NS, 2)),
     ]
@@ -953,7 +1002,33 @@ def trace_tiles_pallas(
             jnp.asarray(col_offset, jnp.float32).reshape(1),
             jnp.zeros((2,), jnp.float32),
         ]
+    )[None, :]
+
+    out = _tiles_call(qnodes, cam, width, height, jitter, leaf_k,
+                      entries, tbounds, interpret)
+
+    # (1·T, 6, SUB, 128) → 6 × (H, W); tri/visits planes carry exact ints
+    img = out.reshape(nty, ntx, 6, TILE, TILE)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(6, ph, pw)[:, :height, :width]
+    planes = (
+        img[0], img[1], img[2], img[3],
+        img[4].astype(jnp.int32),
+        img[5].astype(jnp.int32),
     )
+    return planes if stats else planes[:5]
+
+
+def _tiles_call(qnodes, cam_rows, width, height, jitter, leaf_k,
+                entries, tbounds, interpret):
+    """Shared pallas_call for the persistent tile kernel: ``cam_rows`` is
+    (F, 16) — F frames rendered from ONE tile queue of F·nty·ntx tiles.
+    Returns raw (F·T, 6, SUB, 128) tile planes."""
+    pw = -(-width // TILE) * TILE
+    ph = -(-height // TILE) * TILE
+    nty, ntx = ph // TILE, pw // TILE
+    tiles_per_frame = nty * ntx
+    num_frames = cam_rows.shape[0]
+    num_tiles = num_frames * tiles_per_frame
 
     if entries is None:
         entries = jnp.zeros((nty, ntx), jnp.int32)
@@ -975,11 +1050,12 @@ def trace_tiles_pallas(
             f"leaf_k={leaf_k} (expected {recw}) — pass the leaf_size the "
             "records were built with"
         )
-    out = pl.pallas_call(
-        partial(_persistent_kernel, jitter, num_tiles, ntx, leaf_k),
+    return pl.pallas_call(
+        partial(_persistent_kernel, jitter, num_tiles, ntx, leaf_k,
+                tiles_per_frame),
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # cam rows (F, 16)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # entries (full, tiny)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tbounds (full, tiny)
             pl.BlockSpec(memory_space=pltpu.HBM),   # qnodes
@@ -988,11 +1064,68 @@ def trace_tiles_pallas(
         out_shape=jax.ShapeDtypeStruct((num_tiles, 6, SUB, 128), jnp.float32),
         scratch_shapes=_persistent_scratch_shapes(recw),
         interpret=interpret,
-    )(cam, entries, tbounds, qnodes)
+    )(cam_rows, entries, tbounds, qnodes)
 
-    # (T, 6, SUB, 128) → 6 × (H, W); tri/visits planes carry exact ints
-    img = out.reshape(nty, ntx, 6, TILE, TILE)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(6, ph, pw)[:, :height, :width]
+
+@partial(jax.jit, static_argnames=("width", "height", "fov_degrees",
+                                   "interpret", "stats", "jitter", "leaf_k",
+                                   "raw"))
+def trace_tiles_batch_pallas(
+    qnodes: jax.Array,
+    cam_pos: jax.Array,        # (F, 3)
+    cam_quat: jax.Array,       # (F, 4)
+    width: int,
+    height: int,
+    fov_degrees: float = 70.0,
+    interpret: bool = False,
+    stats: bool = False,
+    jitter: bool = False,
+    jitter_seeds=None,         # (F,) per-frame subpixel seeds
+    leaf_k: int = 1,
+    raw: bool = False,
+):
+    """Frame-BATCH primary trace: F cameras rendered by ONE kernel call
+    (one shared tile queue spanning all frames). Same per-pixel results as
+    F separate trace_tiles_pallas calls (parity-tested in interpret mode);
+    use for camera batches / frame batches where per-call dispatch overhead
+    would dominate (256²-class frames: ~0.3-0.5 ms/call — PERF.md r3 #10).
+
+    Returns (t, nx, ny, nz, tri[, visits]) with leading frame dim (F, H, W).
+
+    ``raw=True`` skips the tile→image transpose and returns the kernel's
+    native (F, tiles, 6, SUB, 128) layout — reductions (hit counts, sums)
+    are layout-independent, and the transpose materializes F·6 full frames
+    of traffic that count-only consumers (benchmarks, multi-cam hit tests)
+    would throw away. Requires width/height multiples of TILE.
+    """
+    f = cam_pos.shape[0]
+    pw = -(-width // TILE) * TILE
+    ph = -(-height // TILE) * TILE
+    nty, ntx = ph // TILE, pw // TILE
+    focal = 1.0 / math.tan(0.5 * math.radians(fov_degrees))
+    if jitter_seeds is None:
+        jitter_seeds = jnp.zeros((f,), jnp.float32)
+    consts = jnp.broadcast_to(
+        jnp.array([focal, width / height, width, height], jnp.float32),
+        (f, 4))
+    cam_rows = jnp.concatenate(
+        [
+            jnp.asarray(cam_pos, jnp.float32).reshape(f, 3),
+            jnp.asarray(cam_quat, jnp.float32).reshape(f, 4),
+            consts,
+            jnp.asarray(jitter_seeds, jnp.float32).reshape(f, 1),
+            jnp.zeros((f, 4), jnp.float32),   # row_off, col_off, pad
+        ],
+        axis=1,
+    )
+    out = _tiles_call(qnodes, cam_rows, width, height, jitter, leaf_k,
+                      None, None, interpret)
+    if raw:
+        if width % TILE or height % TILE:
+            raise ValueError("raw=True needs TILE-aligned width/height")
+        return out.reshape(f, nty * ntx, 6, SUB, 128)
+    img = out.reshape(f, nty, ntx, 6, TILE, TILE)
+    img = img.transpose(3, 0, 1, 4, 2, 5).reshape(6, f, ph, pw)[:, :, :height, :width]
     planes = (
         img[0], img[1], img[2], img[3],
         img[4].astype(jnp.int32),
@@ -1001,7 +1134,8 @@ def trace_tiles_pallas(
     return planes if stats else planes[:5]
 
 
-@partial(jax.jit, static_argnames=("interpret", "any_hit", "leaf_k", "sub"))
+@partial(jax.jit, static_argnames=("interpret", "any_hit", "leaf_k", "sub",
+                                   "tree_space"))
 def trace_rays_pallas(
     qnodes: jax.Array,
     origins: jax.Array,
@@ -1010,6 +1144,7 @@ def trace_rays_pallas(
     any_hit: bool = False,
     leaf_k: int = 1,
     sub: int = SUB,
+    tree_space: str = "hbm",
 ):
     """Closest-hit trace of an arbitrary ray buffer through the supernode
     kernel → (t, nx, ny, nz, tri), each shape (R,).
@@ -1031,6 +1166,21 @@ def trace_rays_pallas(
     rays): lanes stop at their first accepted intersection and whole
     streams terminate early once every lane is occluded. ``tri >= 0`` (or
     ``t == 0``) means occluded; ``t`` is NOT a distance in this mode.
+
+    ``tree_space`` picks where the supernode records live during traversal
+    (PERF.md roadmap #1 — the per-visit fetch is the divergent-wave floor):
+      * "hbm"  — per-visit HBM→SMEM DMA (default; only option for big scenes)
+      * "vmem" — records preloaded into VMEM; per-visit DMA is VMEM→SMEM
+                 (far lower latency than HBM when 4-way streaming can't
+                 hide it). Tree must fit VMEM (≤ ~12 MB).
+      * "smem" — records ARE scalar memory; record words are read directly
+                 per visit with NO DMA at all. Tree must fit SMEM — the
+                 v5e has 1 MB total (measured compile error, PERF.md r4
+                 #2), so this only fits toy trees (a K=32 record is 7 KB).
+    All three produce bit-identical results (parity-tested). Measured on
+    config-4-class divergent waves: vmem ≈ hbm (the 4-stream interleave
+    already hides the fetch — PERF.md r4 #2); the options stay for
+    future hardware generations / small-tree workloads.
     """
     r = origins.shape[0]
     grp = NS * sub * 128
@@ -1055,6 +1205,12 @@ def trace_rays_pallas(
         jax.ShapeDtypeStruct((nt, NS, sub, 128), jnp.int32),
     ]
 
+    if tree_space not in ("hbm", "vmem", "smem"):
+        raise ValueError(f"tree_space must be hbm|vmem|smem, got {tree_space!r}")
+    direct = tree_space == "smem"
+    tree_mem = {"hbm": pltpu.HBM, "vmem": pltpu.VMEM, "smem": pltpu.SMEM}[
+        tree_space]
+
     def kern(*args):
         # strip the leading block axis of size 1 from every ref
         ins = args[:6]
@@ -1072,13 +1228,13 @@ def trace_rays_pallas(
             def __setitem__(self, idx, val):
                 self.ref[(0, *((idx,) if not isinstance(idx, tuple) else idx))] = val
 
-        _raybuf_kernel(any_hit, leaf_k, *[_Sq(x) for x in ins], qn,
+        _raybuf_kernel(any_hit, leaf_k, direct, *[_Sq(x) for x in ins], qn,
                        *[_Sq(x) for x in outs_], *scr)
 
     outs = pl.pallas_call(
         kern,
         grid=(nt,),
-        in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=tree_mem)],
         out_specs=[spec] * 5,
         out_shape=out_shape,
         scratch_shapes=_scratch_shapes(rec_layout(leaf_k)[2]),

@@ -23,6 +23,7 @@ This module completes that design TPU-natively:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -38,6 +39,12 @@ _BASE = (0.9, 0.7, 0.3)
 _SUN_DIR = (1.0, 1.5, 1.0)
 _SKY = 0.15
 _EPS_OFFSET = 1e-4
+# wave-compaction permutation: "argsort" (XLA sort — default) or "partition"
+# (MXU bucket ranks, ops/partition.py). Measured on TPU (tools/mb_partition.py,
+# 262k lanes): argsort+gather 3.95 ms/iter ≈ gather-only 4.01 — the permute is
+# GATHER-bound and the sort is free, so the MXU partition (5.48) loses; it
+# stays available for wider key spaces where argsort's bitonic depth bites.
+_COMPACT_IMPL = os.environ.get("RT_COMPACT", "argsort")
 
 
 def _sun() -> jax.Array:
@@ -113,6 +120,18 @@ def _img_to_lanes(img, width: int, height: int):
             height * width, *ch)
     flat = img.reshape(height * width, *ch)
     return flat[jnp.asarray(_tile_order(width, height))]
+
+
+def _lanes_to_img(lanes, width: int, height: int):
+    """Inverse of :func:`_img_to_lanes` for TILE-aligned frames — a pure
+    reshape/transpose, replacing the (H·W)-scatter the non-compacted PT
+    epilogue used to pay (gathers/scatters are the PT glue — PERF.md)."""
+    from .ops.pallas.traverse import TILE
+
+    ch = lanes.shape[1:]
+    a = lanes.reshape(height // TILE, width // TILE, TILE, TILE, *ch)
+    return a.transpose(0, 2, 1, 3, *range(4, 4 + len(ch))).reshape(
+        height, width, *ch)
 
 
 def _park_irrelevant(o, d, relevant, sub=None):
@@ -361,7 +380,11 @@ def pt_sample_frame(
             from .ops.morton import morton3d
 
             # dead rays sink to the end; live rays cluster by direction
-            # octant then 24-bit origin Morton (scene is normalized ≈[-1,1])
+            # octant then coarse origin cell (scene is normalized ≈[-1,1]).
+            # Full per-lane re-sort every wave: each bounce re-samples every
+            # lane's direction, so octant purity — the part of the key that
+            # pays (A/B'd round 3) — can never be preserved by cheaper
+            # grouped/segmented sorts (tools/mb_compact2.py).
             q = jnp.clip((o + 2.0) * (1023.0 / 4.0), 0.0, 1023.0).astype(jnp.uint32)
             m = morton3d(q[:, 0], q[:, 1], q[:, 2])
             octant = (
@@ -369,25 +392,42 @@ def pt_sample_frame(
                 + (d[:, 1] < 0).astype(jnp.uint32) * 2
                 + (d[:, 2] < 0).astype(jnp.uint32)
             )
-            key = (
-                (~alive).astype(jnp.uint32) << jnp.uint32(31)
-                | (octant << jnp.uint32(28))
-                | (m >> jnp.uint32(2))
-            )
-            # Full per-lane sort every wave: each bounce re-samples every
-            # lane's direction, so octant purity — the part of the key that
-            # pays (A/B'd round 3) — can never be preserved by cheaper
-            # grouped/segmented sorts (tools/mb_compact2.py: sort cost is
-            # flat per element; 4-lane grouping lost 6-38 ms/frame).
-            perm = jnp.argsort(key)
+            if _COMPACT_IMPL == "argsort":
+                # reference impl: full 31-bit key through XLA's sort —
+                # 12.9 ms flat for 262k keys (PERF.md r3 #9)
+                key = (
+                    (~alive).astype(jnp.uint32) << jnp.uint32(31)
+                    | (octant << jnp.uint32(28))
+                    | (m >> jnp.uint32(2))
+                )
+                perm = jnp.argsort(key)
+            else:
+                # MXU stable bucket partition (ops/partition.py): the key
+                # space that matters is tiny — (alive, octant, top Morton
+                # bits) — so per-bucket ranks come from a triangular matmul
+                # instead of a 12.9 ms sort network
+                from .ops.partition import bucket_partition_perm
+
+                key = (
+                    (~alive).astype(jnp.int32) << 7
+                    | (octant.astype(jnp.int32) << 4)
+                    | ((m >> jnp.uint32(26)).astype(jnp.int32) & 0xF)
+                )
+                perm = bucket_partition_perm(key, 256)
             o, d = o[perm], d[perm]
             radiance, throughput = radiance[perm], throughput[perm]
             alive, pix = alive[perm], pix[perm]
 
     # paths still alive after the last bounce collect the ambient sky
     radiance = radiance + jnp.where(alive[:, None], throughput * jnp.float32(_SKY), 0.0)
-    radiance = jnp.zeros((r, 3), jnp.float32).at[pix].set(radiance)
-    img = radiance.reshape(height, width, 3)
+    from .ops.pallas.traverse import TILE as _T
+    if not compact and width % _T == 0 and height % _T == 0:
+        # lanes never left tile-block order: undo it with a reshape instead
+        # of an (H·W)-scatter
+        img = _lanes_to_img(radiance, width, height)
+    else:
+        radiance = jnp.zeros((r, 3), jnp.float32).at[pix].set(radiance)
+        img = radiance.reshape(height, width, 3)
     if stats:
         return img, {"alive_rays": alive_rays, "lane_rays": lane_rays}
     return img

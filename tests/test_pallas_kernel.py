@@ -200,3 +200,47 @@ def test_packed_leaf_parity(k):
     rt, _, _, _, rtri = trace_rays_pallas(qn, o, d, interpret=True, leaf_k=k)
     rbt, rbtri = trace_rays_brute(tris, o, d)
     assert (np.asarray(rtri) == np.asarray(rbtri)).all()
+
+
+def test_batch_kernel_matches_single_calls(sphere):
+    """trace_tiles_batch_pallas (one kernel call, F-frame tile queue) equals
+    F independent trace_tiles_pallas calls: exact tri ids, t/normals to fp
+    tolerance. (In interpret mode the kernel is inlined into the outer jit
+    program, so XLA's FMA/fusion choices differ between the two wrappers —
+    ~1-ULP drift in t at silhouettes. On hardware the kernel is a standalone
+    Mosaic module with identical code for both wrappers.)"""
+    from raytracer_tpu.ops.pallas.traverse import trace_tiles_batch_pallas
+
+    tris, wide, qn = sphere
+    poss = jnp.stack([CAM_POS, CAM_POS + jnp.array([0.3, 0.0, -0.3])])
+    quats = jnp.stack([CAM_QUAT, CAM_QUAT])
+    singles = [trace_tiles_pallas(qn, poss[i], quats[i], 96, 64,
+                                  interpret=True) for i in range(2)]
+    batch = trace_tiles_batch_pallas(qn, poss, quats, 96, 64, interpret=True)
+    for i in range(2):
+        assert np.array_equal(np.asarray(singles[i][4]),
+                              np.asarray(batch[4][i])), i  # tri ids exact
+        hit = np.asarray(singles[i][4]) >= 0
+        for p in range(4):
+            a, b = np.asarray(singles[i][p]), np.asarray(batch[p][i])
+            assert np.allclose(a[hit], b[hit], rtol=1e-5, atol=1e-6), (i, p)
+
+
+@pytest.mark.parametrize("space", ["vmem", "smem"])
+def test_tree_space_parity(sphere, space):
+    """VMEM/SMEM-resident trees produce bit-identical hits to the HBM-DMA
+    path (closest-hit and any-hit)."""
+    from raytracer_tpu.ops.pallas.traverse import trace_rays_pallas
+
+    tris, wide, qn = sphere
+    rng = np.random.default_rng(3)
+    o = jnp.asarray((rng.normal(size=(2048, 3)) * 0.1
+                     + np.array([0, 0, 2.0])).astype(np.float32))
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    for ah in (False, True):
+        base = trace_rays_pallas(qn, o, d, interpret=True, any_hit=ah)
+        out = trace_rays_pallas(qn, o, d, interpret=True, any_hit=ah,
+                                tree_space=space)
+        for p in range(5):
+            assert np.array_equal(np.asarray(base[p]), np.asarray(out[p]))
