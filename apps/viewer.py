@@ -33,6 +33,10 @@ def main(argv=None) -> int:
                     help="auto = fastest available (SAH K=32 clusters on TPU)")
     ap.add_argument("--leaf", type=int, default=None,
                     help="triangles per BVH leaf (default: auto per backend)")
+    ap.add_argument("--stream-scale", type=int, default=2,
+                    help="downscale factor for frames streamed while the "
+                         "camera is moving (1 = always full resolution); "
+                         "idle frames are always full-res")
     args = ap.parse_args(argv)
 
     from raytracer_tpu.models.camera import FPSCamera
@@ -62,7 +66,8 @@ def main(argv=None) -> int:
     tracer.set_scene(scene)
 
     camera = FPSCamera(position=[0.0, 0.0, 2.5])
-    run_viewer(tracer, camera, port=args.port)
+    run_viewer(tracer, camera, port=args.port,
+               stream_scale=args.stream_scale)
     return 0
 
 

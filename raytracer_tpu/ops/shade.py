@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -22,6 +24,7 @@ __all__ = [
     "triangle_normals",
     "shade_lambert",
     "quantize_rgba8",
+    "downscale_rgb8",
     "present_frame",
     "MISS_COLOR",
 ]
@@ -57,6 +60,19 @@ def quantize_rgba8(rgb: jax.Array) -> jax.Array:
     q = jnp.round(jnp.clip(rgb, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     alpha = jnp.full(q.shape[:-1] + (1,), 255, jnp.uint8)
     return jnp.concatenate([q, alpha], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("scale",))
+def downscale_rgb8(rgb: jax.Array, scale: int) -> jax.Array:
+    """(H, W, 3) f32 in [0,1] → (H/scale, W/scale, 3) uint8 by box filter.
+
+    Runs ON DEVICE so bandwidth-bound consumers (the live viewer's tunnel
+    pull, ~16 MB/s — PERF.md r3 #4) transfer scale²× fewer bytes; trailing
+    rows/cols that don't fill a box are dropped."""
+    h, w = rgb.shape[0] - rgb.shape[0] % scale, rgb.shape[1] - rgb.shape[1] % scale
+    a = rgb[:h, :w].reshape(h // scale, scale, w // scale, scale, 3)
+    m = a.mean(axis=(1, 3))
+    return jnp.round(jnp.clip(m, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 def present_frame(ldr_u8: jax.Array) -> jax.Array:

@@ -364,6 +364,19 @@ class PathTracer:
         """render() + the tonemap present pass (tonemapper.wgsl)."""
         return present_frame(self.render())
 
+    def render_stream(self, scale: int = 2) -> jax.Array:
+        """One frame → scale×-box-filtered (H/s, W/s, 3) uint8, ON DEVICE.
+
+        The live viewer's frame pull rides the host tunnel at ~16 MB/s
+        (PERF.md r3 #4) — at 960×540 the rgba8 pull alone costs ~130 ms
+        (5 FPS ceiling). Downscaling before the transfer cuts the pulled
+        bytes scale²×·(3/4); the browser upscales the <img> (the reference
+        letterboxes its canvas the same way, public/app/styles.css)."""
+        from .ops.shade import downscale_rgb8
+
+        rgb, _, _ = self._render_planes()
+        return downscale_rgb8(rgb, int(scale))
+
     # -- progressive path tracing (the frameCount scaffolding completed) -----------
 
     def render_progressive(self, bounces: int = 3) -> jax.Array:

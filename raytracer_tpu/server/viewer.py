@@ -39,18 +39,33 @@ VIEWER_PORT = 3000
 
 
 class ViewerState:
-    """Shared state between the HTTP handlers and the render thread."""
+    """Shared state between the HTTP handlers and the render thread.
 
-    def __init__(self, tracer, camera: FPSCamera | None = None):
+    Streaming is bandwidth-adaptive (verdict r3 #10): the frame pull rides
+    the host↔device tunnel at ~16 MB/s (PERF.md r3 #4), so while the user
+    is ACTIVE (keys held / mouse moving / within ``idle_after`` of the last
+    input) frames are pulled ``stream_scale``×-downscaled (scale²·4/3 fewer
+    bytes — on-device box filter, PathTracer.render_stream) and the browser
+    upscales the <img>. Once input goes idle, ONE full-resolution frame is
+    rendered and published, then the loop parks (no TPU work, no pulls)
+    until the next input event."""
+
+    def __init__(self, tracer, camera: FPSCamera | None = None,
+                 stream_scale: int = 2, idle_after: float = 0.7):
         self.tracer = tracer
         self.camera = camera or FPSCamera(position=tracer.camera_position)
+        self.stream_scale = max(1, int(stream_scale))
+        self.idle_after = float(idle_after)
         self.lock = threading.Lock()
         self.frame_png: bytes = encode_png(
             np.zeros((tracer.height, tracer.width, 3), np.uint8)
         )
         self.frame_count = 0
         self.fps = 0.0
+        self.scale_now = self.stream_scale
         self._pending_mouse = [0.0, 0.0]
+        self._last_input = time.monotonic()
+        self._idle_published = False
         self._stop = threading.Event()
 
     # -- input ------------------------------------------------------------
@@ -65,14 +80,23 @@ class ViewerState:
             self._pending_mouse[1] += float(msg.get("dy", 0.0))
             if "fly" in msg:
                 self.camera.set_fly(bool(msg["fly"]))
+            self._last_input = time.monotonic()
+            self._idle_published = False
 
     # -- render loop --------------------------------------------------------
 
-    def step(self, dt: float) -> None:
-        """One frame: drain input, move the camera, render, encode."""
+    def step(self, dt: float) -> bool:
+        """One frame: drain input, move the camera, render, encode.
+
+        Returns True if a frame was rendered (False = parked idle)."""
         with self.lock:
             dx, dy = self._pending_mouse
             self._pending_mouse[0] = self._pending_mouse[1] = 0.0
+            keys_held = bool(self.camera._keys)
+            active = (dx or dy or keys_held
+                      or time.monotonic() - self._last_input < self.idle_after)
+            if not active and self._idle_published:
+                return False
         if dx or dy:
             self.camera.move_mouse(dx, dy)
         self.camera.update(dt)
@@ -82,11 +106,19 @@ class ViewerState:
         self.tracer.set_camera_quaternion(
             float(q[0]), float(q[1]), float(q[2]), float(q[3])
         )
-        img = np.asarray(self.tracer.render())
-        png = encode_png(img[..., :3], level=1)   # speed > size for streaming
+        scale = self.stream_scale if active else 1
+        if scale > 1:
+            img = np.asarray(self.tracer.render_stream(scale))
+        else:
+            img = np.asarray(self.tracer.render())[..., :3]
+        png = encode_png(img, level=1)   # speed > size for streaming
         with self.lock:
             self.frame_png = png
             self.frame_count += 1
+            self.scale_now = scale
+            if not active:
+                self._idle_published = True
+        return True
 
     def render_loop(self) -> None:
         last = time.perf_counter()
@@ -95,7 +127,9 @@ class ViewerState:
             now = time.perf_counter()
             dt = min(now - last, 0.1)
             last = now
-            self.step(dt)
+            if not self.step(dt):
+                time.sleep(0.02)   # parked: poll input at 50 Hz, no TPU work
+                continue
             took = time.perf_counter() - now
             ema = took if ema is None else 0.9 * ema + 0.1 * took
             self.fps = 1.0 / max(ema, 1e-6)
@@ -130,6 +164,7 @@ def make_viewer_server(state: ViewerState, port: int = VIEWER_PORT,
                     "fps": round(state.fps, 2),
                     "width": state.tracer.width,
                     "height": state.tracer.height,
+                    "scale": state.scale_now,
                 }).encode()
                 self._send(200, body, "application/json")
             else:
@@ -157,9 +192,9 @@ def make_viewer_server(state: ViewerState, port: int = VIEWER_PORT,
 
 
 def run_viewer(tracer, camera: FPSCamera | None = None,
-               port: int = VIEWER_PORT) -> None:
+               port: int = VIEWER_PORT, stream_scale: int = 2) -> None:
     """Blocking: start the render thread + HTTP server (apps/viewer.py)."""
-    state = ViewerState(tracer, camera)
+    state = ViewerState(tracer, camera, stream_scale=stream_scale)
     thread = threading.Thread(target=state.render_loop, daemon=True)
     thread.start()
     srv = make_viewer_server(state, port, quiet=False)

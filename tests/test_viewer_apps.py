@@ -116,3 +116,36 @@ def test_viewer_endpoints(viewer):
     p2 = state.camera.position.copy()
     state.step(0.1)
     assert np.allclose(state.camera.position, p2)
+
+
+def test_viewer_adaptive_streaming(viewer):
+    """Active input streams downscaled frames; idle publishes ONE full-res
+    frame then parks the loop (no renders until the next input event)."""
+    import struct
+
+    state, srv = viewer
+
+    def png_size(data):
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h
+
+    # active: frames come out stream_scale x downscaled
+    _post(srv, "/api/input", {"dx": 5.0})
+    assert state.step(1 / 30) is True
+    w, h = png_size(_get(srv, "/api/frame.png"))
+    assert (w, h) == (64 // state.stream_scale, 64 // state.stream_scale)
+    assert state.scale_now == state.stream_scale
+
+    # idle: one full-res publish, then the loop parks
+    state._last_input = 0.0
+    assert state.step(1 / 30) is True
+    assert png_size(_get(srv, "/api/frame.png")) == (64, 64)
+    assert state.scale_now == 1
+    n = state.frame_count
+    assert state.step(1 / 30) is False          # parked
+    assert state.frame_count == n
+
+    # new input un-parks the loop
+    _post(srv, "/api/input", {"dx": 1.0})
+    assert state.step(1 / 30) is True
