@@ -162,6 +162,7 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     wide, cluster, tree_height = full_build()
+    host_build_s = time.perf_counter() - t0
     build_s = None
 
     cam_pos0 = np.array([0.0, 0.0, 2.5], np.float32)
@@ -183,6 +184,13 @@ def main(argv=None) -> int:
         qn = records(wide, cluster, tree_height)
         jax.block_until_ready(qn)
         build_s = time.perf_counter() - t0
+        # first-run build variance diagnosis (r4: 35-594 s across identical
+        # processes): host+native SAH+upload vs the exported records
+        # pipeline's deserialize+XLA-compile (the relay compiles remotely —
+        # queue weather is not ours)
+        log(f"[bench] build phases: host+SAH+upload {host_build_s:.2f}s, "
+            f"records pipeline (export load+compile+run) "
+            f"{build_s - host_build_s:.2f}s")
         # steady-state rebuild (everything compiled)
         t0b = time.perf_counter()
         qn = records(*full_build())
@@ -355,6 +363,7 @@ def main(argv=None) -> int:
             "leaf_size": leaf_k,
             "builder": args.builder,
             "build_seconds_first_run": round(build_s, 2),
+            "build_seconds_host_phase": round(host_build_s, 2),
             "build_seconds_steady": round(build_steady_s, 3),
             "first_frame_seconds": round(first_frame_s, 2),
             "aot_cache": aot_stats,

@@ -265,13 +265,24 @@ class _Stream:
 
 
 def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
-             leaf_k: int = 1, rd=None):
+             leaf_k: int = 1, rd=None, ordered: bool = True):
     """Consume stream ``s``'s fetched record: MT its leaf children, slab-
     test its internal children, push survivors near-first. Runs under
     pl.when(pending) — the record DMA has already been waited on.
 
     ``rd`` overrides the record-word reader: the SMEM-resident-tree path
-    reads record words straight out of the tree array (no per-visit DMA)."""
+    reads record words straight out of the tree array (no per-visit DMA).
+
+    ``ordered=False`` drops the near-first ordering entirely: no projected-
+    center key (9 scalar flops + 1 radius read per child), no push cull, no
+    4-way sorting network (~50 scalar ops) — children push in slot order
+    with key 0. The consume loop is scalar-issue-bound (~330 ns/visit,
+    tools/mb_results_r2.md), so this trades visits for per-visit cost; it
+    pays on DIVERGENT waves where the stream-mean ordering axis is weak
+    (bounce/NEE waves walk ~the whole tree regardless — PERF.md r3 #9).
+    Pop-time culling still works (stack_d holds 0, and closest-hit maxb
+    stays positive; any-hit full-occlusion drives maxb to 0, which both
+    flushes the stack and culls key-0 entries)."""
     f32 = jnp.float32
     vbase, ibase, _ = rec_layout(leaf_k)
     sp = istate_scr[_SP, s]
@@ -324,25 +335,28 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
         shift = 16 * (k // 2)
         accs[k % 2] = accs[k % 2] + jnp.where(hit, jnp.int32(1) << shift, 0)
 
-        # near-first ordering: box center projected on the stream ray.
-        # The push/sort/cull key is the UNCLAMPED conservative bound
-        # proj − r − slack (any hit t ≥ max(key, 0)): since the cull
-        # threshold maxb is > 0 whenever entries matter (closest-hit maxb
-        # is INF or a positive best-t; any-hit maxb = 0 flushes the whole
-        # stack at pop time), ``key < maxb ⟺ max(key,0) < maxb`` — the
-        # clamp and the separate sort field it forced are dead weight
-        # (~15 scalar ops/visit).
-        proj = (
-            ((mnx + mxx) * 0.5 - oox) * odx
-            + ((mny + mxy) * 0.5 - ooy) * ody
-            + ((mnz + mxz) * 0.5 - ooz) * odz
-        )
-        r = rd(28 + k)
-        key = proj - r - st.order_slack
+        if ordered:
+            # near-first ordering: box center projected on the stream ray.
+            # The push/sort/cull key is the UNCLAMPED conservative bound
+            # proj − r − slack (any hit t ≥ max(key, 0)): since the cull
+            # threshold maxb is > 0 whenever entries matter (closest-hit maxb
+            # is INF or a positive best-t; any-hit maxb = 0 flushes the whole
+            # stack at pop time), ``key < maxb ⟺ max(key,0) < maxb`` — the
+            # clamp and the separate sort field it forced are dead weight
+            # (~15 scalar ops/visit).
+            proj = (
+                ((mnx + mxx) * 0.5 - oox) * odx
+                + ((mny + mxy) * 0.5 - ooy) * ody
+                + ((mnz + mxz) * 0.5 - ooz) * odz
+            )
+            r = rd(28 + k)
+            key = proj - r - st.order_slack
+            push_dist[k] = key
+            push_internal[k] = is_internal & (key < maxb2)
+        else:
+            push_internal[k] = is_internal
 
         push_ref[k] = refc.astype(jnp.int32)
-        push_dist[k] = key
-        push_internal[k] = is_internal & (key < maxb2)
 
     # the two lane reductions of this visit (slot-hit counts)
     if "noreduce" in _ABLATE:
@@ -483,7 +497,7 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
             jnp.where(pred, oks[a], oks[b]),
         )
 
-    if "nosort" not in _ABLATE:
+    if ordered and "nosort" not in _ABLATE:
         swap_if(0, 1)
         swap_if(2, 3)
         swap_if(0, 2)
@@ -504,7 +518,7 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
 
 def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
                       maxb_scr, istate_scr, sems, leaf_k=1,
-                      direct: bool = False):
+                      direct: bool = False, ordered: bool = True):
     """Round-robin multi-stream traversal loop for a FIXED set of streams
     (the ray-buffer kernel). Per-stream mutable state lives in SMEM so the
     whole consume step can sit behind ``pl.when`` — a drained or cull-skipped
@@ -557,7 +571,7 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
             @pl.when(istate_scr[_PEND, s] != 0)
             def _(s=s, rd=rd):
                 _consume(s, streams[s], node_scr, stack_n, stack_d,
-                         maxb_scr, istate_scr, leaf_k, rd=rd)
+                         maxb_scr, istate_scr, leaf_k, rd=rd, ordered=ordered)
 
             # branchless double-pop: a culled top entry costs only scalar
             # work here instead of a whole idle iteration slot (~330 ns) —
@@ -863,6 +877,7 @@ def _raybuf_kernel(
     any_hit,                                           # static python bool
     leaf_k,                                            # static python int
     direct,                                            # static python bool — SMEM-resident tree
+    ordered,                                           # static python bool — near-first ordering
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM (NS,SUB,128)
     qnodes_ref,                                        # HBM/VMEM/SMEM (M, R, 128)
     t_out, nx_out, ny_out, nz_out, tri_out,           # VMEM (NS,SUB,128)
@@ -921,7 +936,8 @@ def _raybuf_kernel(
         ))
 
     _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
-                      maxb_scr, istate_scr, sems, leaf_k, direct=direct)
+                      maxb_scr, istate_scr, sems, leaf_k, direct=direct,
+                      ordered=ordered)
 
 
 # ---------------------------------------------------------------------------
@@ -1135,7 +1151,7 @@ def trace_tiles_batch_pallas(
 
 
 @partial(jax.jit, static_argnames=("interpret", "any_hit", "leaf_k", "sub",
-                                   "tree_space"))
+                                   "tree_space", "ordered"))
 def trace_rays_pallas(
     qnodes: jax.Array,
     origins: jax.Array,
@@ -1145,6 +1161,7 @@ def trace_rays_pallas(
     leaf_k: int = 1,
     sub: int = SUB,
     tree_space: str = "hbm",
+    ordered: bool = True,
 ):
     """Closest-hit trace of an arbitrary ray buffer through the supernode
     kernel → (t, nx, ny, nz, tri), each shape (R,).
@@ -1181,6 +1198,14 @@ def trace_rays_pallas(
     config-4-class divergent waves: vmem ≈ hbm (the 4-stream interleave
     already hides the fetch — PERF.md r4 #2); the options stay for
     future hardware generations / small-tree workloads.
+
+    ``ordered=False`` drops the near-first push ordering (projected-center
+    key + 4-way sorting network, ~100 scalar ops/visit on the scalar-issue-
+    bound consume loop) and the push-time cull. Same hits/normals/ids —
+    only the traversal ORDER changes, so closest-hit results are identical
+    and any-hit results pick a possibly-different (still valid) occluder
+    flag. Meant for divergent waves where the stream-mean ordering axis is
+    too weak to prune (A/B per config — PERF.md round 4).
     """
     r = origins.shape[0]
     grp = NS * sub * 128
@@ -1228,7 +1253,8 @@ def trace_rays_pallas(
             def __setitem__(self, idx, val):
                 self.ref[(0, *((idx,) if not isinstance(idx, tuple) else idx))] = val
 
-        _raybuf_kernel(any_hit, leaf_k, direct, *[_Sq(x) for x in ins], qn,
+        _raybuf_kernel(any_hit, leaf_k, direct, ordered,
+                       *[_Sq(x) for x in ins], qn,
                        *[_Sq(x) for x in outs_], *scr)
 
     outs = pl.pallas_call(

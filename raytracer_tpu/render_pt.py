@@ -172,15 +172,33 @@ def _park_irrelevant(o, d, relevant, sub=None):
     return o, d
 
 
-def _wave_sub(r: int) -> int:
-    """Stream width for PT waves: 16 sublanes (2048-lane streams) once the
-    wave is big enough to fill them — divergent bounce/NEE waves walk ~the
-    whole tree per stream, so wider streams amortize the per-visit scalar
-    cost (tools/mb_sub.py: NEE −8%, incoherent −17% at sub=16; primaries
-    flat). Small (test-size) waves keep the tile-kernel default."""
+def _wave_sub(r: int, any_hit: bool = False) -> int:
+    """Stream width for PT waves: wider streams amortize the per-visit
+    scalar cost on divergent waves that walk ~the whole tree per stream
+    (tools/mb_sub.py, interior scene, ms/wave at sub=8/16/32/64:
+    closest-hit incoherent 22.3/18.5/16.9/34.4 — best at 32; NEE any-hit
+    5.3/4.9/5.3/11.9 — best at 16, early stream termination shrinks with
+    width). Defaults: closest-hit 32, any-hit 16; override with
+    RT_WAVE_SUB_CH / RT_WAVE_SUB_AH. Small (test-size) waves keep the
+    tile-kernel default."""
     from .ops.pallas.traverse import NS, SUB
 
-    return 16 if r >= NS * 16 * 128 else SUB
+    sub = int(os.environ.get("RT_WAVE_SUB_AH" if any_hit else
+                             "RT_WAVE_SUB_CH", "16" if any_hit else "32"))
+    return sub if r >= NS * sub * 128 else SUB
+
+
+def _wave_ordered(any_hit: bool = False) -> bool:
+    """Near-first ordering for PT waves (trace_rays_pallas ``ordered``).
+
+    The consume loop is scalar-issue-bound, and the ordering key + sorting
+    network are ~100 scalar ops of its ~330 ns/visit; on divergent waves
+    the stream-mean ordering axis prunes little, so dropping ordering can
+    win (A/B'd per config — PERF.md round 4). Defaults measured on the
+    interior scene; override with RT_WAVE_ORDERED_CH / RT_WAVE_ORDERED_AH
+    (1 = ordered)."""
+    return os.environ.get("RT_WAVE_ORDERED_AH" if any_hit else
+                          "RT_WAVE_ORDERED_CH", "1") == "1"
 
 
 def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
@@ -193,7 +211,9 @@ def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
 
         _, _, _, _, tri = trace_rays_pallas(qnodes, o, d, any_hit=True,
                                             leaf_k=leaf_k, interpret=interpret,
-                                            sub=_wave_sub(o.shape[0]))
+                                            sub=_wave_sub(o.shape[0],
+                                                          any_hit=True),
+                                            ordered=_wave_ordered(any_hit=True))
         return tri >= 0
     if brute:
         _, tri = trace_rays_brute(tris, o, d)
@@ -203,7 +223,7 @@ def _occluded(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
 
 
 def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
-           interpret: bool = False):
+           interpret: bool = False, ordered: bool = True):
     """One wave: closest hit + ray-facing normals.
 
     Uses the Pallas ray-buffer kernel when supernode records are supplied
@@ -214,7 +234,8 @@ def _trace(wide, qnodes, tris, o, d, brute: bool, leaf_k: int = 1,
 
         t, nx, ny, nz, tri = trace_rays_pallas(qnodes, o, d, leaf_k=leaf_k,
                                                interpret=interpret,
-                                               sub=_wave_sub(o.shape[0]))
+                                               sub=_wave_sub(o.shape[0]),
+                                               ordered=ordered)
         n = jnp.stack([nx, ny, nz], axis=-1)
         flip = jnp.sign(-jnp.sum(n * d, axis=-1, keepdims=True))
         n = n * jnp.where(flip == 0.0, 1.0, flip)
@@ -340,9 +361,11 @@ def pt_sample_frame(
         else:
             ot, dt = (o, d)
             if use_kernel and b > 0:
-                ot, dt = _park_irrelevant(o, d, alive)
+                ot, dt = _park_irrelevant(o, d, alive,
+                                          sub=_wave_sub(o.shape[0]))
             t, tri, n = _trace(wide, qnodes, tris, ot, dt, brute, leaf_k,
-                               interpret)
+                               interpret,
+                               ordered=_wave_ordered() if b > 0 else True)
         hit = (tri >= 0) & alive
         miss = ~(tri >= 0) & alive
 
@@ -354,16 +377,22 @@ def pt_sample_frame(
 
         p = o + d * t[:, None] + n * _EPS_OFFSET
 
-        # next-event estimation: any-hit shadow ray toward the sun
-        alive_rays = alive_rays + jnp.sum(hit, dtype=jnp.int32)
+        # next-event estimation: any-hit shadow ray toward the sun.
+        # Lanes whose surface faces AWAY from the sun contribute exactly 0
+        # (direct ∝ max(n·l, 0)) — park them too, so the occlusion wave only
+        # carries lanes that can matter (≈50% on convex scenes; parked lanes
+        # duplicate a live lane and add zero visits). Bit-identical image.
+        ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
+        nee_rel = hit & (ndotl > 0.0)
+        alive_rays = alive_rays + jnp.sum(nee_rel, dtype=jnp.int32)
         os_, ds_ = p, jnp.broadcast_to(sun, p.shape)
         if use_kernel:
             # miss lanes' p is ±inf (o + d*INF) — parked so they can't
             # poison the stream stats or block any-hit early termination
-            os_, ds_ = _park_irrelevant(os_, ds_, hit)
+            os_, ds_ = _park_irrelevant(os_, ds_, nee_rel,
+                                        sub=_wave_sub(r, any_hit=True))
         occ = _occluded(wide, qnodes, tris, os_, ds_, brute, leaf_k, interpret)
         lit = ~occ
-        ndotl = jnp.maximum(jnp.sum(n * sun, axis=-1), 0.0)
         direct = base[None, :] * (ndotl * lit)[:, None]
         radiance = radiance + jnp.where(hit[:, None], throughput * direct, 0.0)
 

@@ -244,3 +244,27 @@ def test_tree_space_parity(sphere, space):
                                 tree_space=space)
         for p in range(5):
             assert np.array_equal(np.asarray(base[p]), np.asarray(out[p]))
+
+
+def test_unordered_parity(sphere):
+    """ordered=False (no near-first key / sorting network / push cull) finds
+    the same closest hits — traversal order can't change a closest-hit
+    result — and the same occluded SET in any-hit mode (the reported
+    occluder id may legitimately differ)."""
+    tris, wide, qn = sphere
+    rng = np.random.default_rng(7)
+    o = jnp.asarray((rng.normal(size=(2048, 3)) * 0.1
+                     + np.array([0, 0, 2.0])).astype(np.float32))
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+
+    base = trace_rays_pallas(qn, o, d, interpret=True)
+    out = trace_rays_pallas(qn, o, d, interpret=True, ordered=False)
+    for p in range(5):
+        assert np.array_equal(np.asarray(base[p]), np.asarray(out[p])), p
+
+    base_ah = trace_rays_pallas(qn, o, d, interpret=True, any_hit=True)
+    out_ah = trace_rays_pallas(qn, o, d, interpret=True, any_hit=True,
+                               ordered=False)
+    assert np.array_equal(np.asarray(base_ah[4]) >= 0,
+                          np.asarray(out_ah[4]) >= 0)

@@ -51,12 +51,16 @@ def one_wide(k, w):
 
 @jax.jit
 def sort_carry(k, w):
-    # lax.sort with the payload as extra operands — sort network moves the
-    # payload rows directly, no separate gather
+    # lax.sort with the payload as extra operands — the sort network moves
+    # payload rows directly, no separate gather. Operands must be same-shape
+    # 1-D arrays, so each column rides as its own operand.
+    cols = w.shape[1]
+
     def step(c_, _):
         kk = k + c_[:, 0].astype(k.dtype) * 0
-        _, out = jax.lax.sort((kk, c_), dimension=0, num_keys=1)
-        return out, 0
+        out = jax.lax.sort((kk, *(c_[:, i] for i in range(cols))),
+                           dimension=0, num_keys=1)
+        return jnp.stack(out[1:], axis=1), 0
     out, _ = jax.lax.scan(step, w, None, length=N)
     return out.sum()
 

@@ -98,7 +98,7 @@ def nee_only(qn_, o_, d_, seeds):
     def one(carry, i):
         t, nx, ny, nz, tri = trace_rays_pallas(
             qn_, o_ + i * 1e-7, d_, any_hit=True, leaf_k=K,
-            sub=_wave_sub(R))
+            sub=_wave_sub(R, any_hit=True))
         return carry + jnp.sum(tri >= 0), 0
     c, _ = jax.lax.scan(one, jnp.int32(0), seeds)
     return c
