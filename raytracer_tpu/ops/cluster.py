@@ -165,7 +165,14 @@ def _refit_clustered_impl(bvh: LBVH2, tri_order: jax.Array,
         def sweep(b):
             lmn, lmx = f16.unpack_bounds(b[left])
             rmn, rmx = f16.unpack_bounds(b[right])
-            packed = f16.pack_bounds_conservative(
+            # plain pack, NOT conservative: unions of unpacked fp16 values
+            # are exactly fp16-representable, so packing is the identity and
+            # the 1-ULP-per-level expansion the builder needs for raw f32
+            # geometry (BVHBuilder.wgsl:83-102) would only inflate internal
+            # boxes here — and would break the bit-parity contract of
+            # collapse_apply_refit (ops/collapse.py), whose gathered bounds
+            # must equal the full collapse's leaf-up f32 re-merge.
+            packed = f16.pack_bounds(
                 jnp.minimum(lmn, rmn), jnp.maximum(lmx, rmx)
             )
             return jnp.where(leaf_mask[:, None], b, packed)

@@ -43,7 +43,14 @@ import jax.numpy as jnp
 
 from .lbvh import LBVH2, _static_height_bound
 
-__all__ = ["BVH4", "collapse_lbvh2_to_bvh4", "promote_lbvh2_to_bvh4_wide"]
+__all__ = [
+    "BVH4",
+    "CollapsePlan",
+    "collapse_lbvh2_to_bvh4",
+    "collapse_plan",
+    "collapse_apply_refit",
+    "promote_lbvh2_to_bvh4_wide",
+]
 
 LEAF_FLAG = 0x80000000
 INVALID = 0xFFFFFFFF
@@ -269,6 +276,127 @@ def collapse_lbvh2_to_bvh4(bvh2: LBVH2, sweeps: int | None = None) -> BVH4:
     return _collapse_impl(
         bvh2.bounds_u32, bvh2.left, bvh2.right, bvh2.meta, bvh2.num_nodes,
         sweeps=sweeps,
+    )
+
+
+class CollapsePlan(NamedTuple):
+    """The topology half of the greedy collapse, computed ONCE per tree.
+
+    Collapse's treelet gathering, reachability, subtree sizes, and pre-order
+    output indices (steps 1-3 of ``_collapse_impl``) are pure functions of
+    (left, right, meta) — refitting moves bounds but never topology — so for
+    dynamic scenes the four per-frame fixed-point sweeps can be replaced by a
+    single static gather of the refitted BVH2 bounds (``collapse_apply_refit``).
+    The reference rebuilds its BVH4 from scratch per deformation instead
+    (PathTracer.js:671-749, seconds per frame)."""
+
+    children: jax.Array   # (M, 4) uint32 — BVH4 children per pre-order row
+    meta: jax.Array       # (M,) uint32 — LEAF_FLAG|tri or 0
+    src: jax.Array        # (M,) int32 — source BVH2 node of each BVH4 row
+    emitted: jax.Array    # (M,) bool — row < numNodes4 (pre-order is dense)
+    num_nodes: jax.Array  # () uint32
+
+
+@partial(jax.jit, static_argnames=("num_nodes2", "sweeps"))
+def _collapse_plan_impl(
+    left2: jax.Array,
+    right2: jax.Array,
+    meta2: jax.Array,
+    num_nodes2: int,
+    sweeps: int | None = None,
+) -> CollapsePlan:
+    m = num_nodes2
+    n_tris = (m + 1) // 2
+    if sweeps is None:
+        sweeps = _static_height_bound(n_tris)
+    leaf = (meta2 & jnp.uint32(LEAF_FLAG)) != 0
+    inv = jnp.uint32(INVALID)
+
+    if m == 1:
+        return CollapsePlan(
+            children=jnp.full((1, 4), inv),
+            meta=meta2,
+            src=jnp.zeros((1,), jnp.int32),
+            emitted=jnp.ones((1,), bool),
+            num_nodes=jnp.uint32(1),
+        )
+
+    kids = _gather_kids(left2, right2, leaf)
+    kid_valid = kids != inv
+    kids_i = jnp.clip(kids.astype(jnp.int32), 0, m - 1)
+
+    def reach_body(is4):
+        src_ = (is4 > 0) & ~leaf
+        upd = is4
+        for k in range(4):
+            tgt = jnp.where(src_ & kid_valid[:, k], kids_i[:, k], m)
+            upd = upd.at[tgt].max(jnp.where(src_, 1, 0), mode="drop")
+        return upd
+
+    is4 = jnp.zeros((m,), jnp.int32).at[0].set(1)
+    is4 = _fixed_point(reach_body, is4, sweeps)
+    is4b = is4 > 0
+
+    def size_body(size):
+        s = 1 + jnp.sum(jnp.where(kid_valid, size[kids_i], 0), axis=-1)
+        return jnp.where(leaf, 1, s)
+
+    size = _fixed_point(size_body, jnp.ones((m,), jnp.int32), sweeps)
+
+    kid_sizes = jnp.where(kid_valid, size[kids_i], 0)
+    elder = jnp.cumsum(kid_sizes, axis=-1) - kid_sizes
+
+    def idx_body(idx):
+        upd = idx
+        src_ = is4b & ~leaf
+        for k in range(4):
+            tgt = jnp.where(src_ & kid_valid[:, k], kids_i[:, k], m)
+            upd = upd.at[tgt].set(idx + 1 + elder[:, k], mode="drop")
+        return upd
+
+    idx = _fixed_point(idx_body, jnp.zeros((m,), jnp.int32), sweeps)
+
+    node_children = jnp.where(
+        leaf[:, None] | ~kid_valid, inv, idx[kids_i].astype(jnp.uint32)
+    )
+    node_meta = jnp.where(leaf, meta2, jnp.uint32(0))
+    rows = jnp.where(is4b, idx, m)
+    out_children = jnp.full((m, 4), inv).at[rows].set(node_children, mode="drop")
+    out_meta = jnp.zeros((m,), jnp.uint32).at[rows].set(node_meta, mode="drop")
+    out_src = jnp.zeros((m,), jnp.int32).at[rows].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop"
+    )
+    num_nodes4 = jnp.sum(is4b).astype(jnp.uint32)
+    emitted = jnp.zeros((m,), bool).at[rows].set(True, mode="drop")
+    return CollapsePlan(
+        children=out_children, meta=out_meta, src=out_src, emitted=emitted,
+        num_nodes=num_nodes4,
+    )
+
+
+def collapse_plan(bvh2: LBVH2, sweeps: int | None = None) -> CollapsePlan:
+    """Compute the static (topology) half of the collapse once."""
+    return _collapse_plan_impl(
+        bvh2.left, bvh2.right, bvh2.meta, bvh2.num_nodes, sweeps=sweeps
+    )
+
+
+def collapse_apply_refit(plan: CollapsePlan, bounds2_u32: jax.Array) -> BVH4:
+    """BVH4 from a precomputed plan + REFITTED BVH2 bounds: one gather.
+
+    Bit-identical to ``collapse_lbvh2_to_bvh4`` whenever ``bounds2_u32``
+    satisfies parent == union(children) exactly in fp16 — which every refit
+    in this package guarantees: leaf boxes are conservatively packed once and
+    unions of fp16-representable values are fp16-representable, so the
+    truncating re-pack the full collapse performs (step 4) is the identity
+    and each surviving node's merged bound equals its own BVH2 bound.
+    Parity-tested in tests/test_collapse.py."""
+    m = plan.src.shape[0]
+    b4 = bounds2_u32[jnp.clip(plan.src, 0, m - 1)]
+    b4 = jnp.where(plan.emitted[:, None], b4, jnp.uint32(0))
+    return BVH4(
+        bounds_u32=b4, children=plan.children, meta=plan.meta,
+        num_nodes=plan.num_nodes,
     )
 
 

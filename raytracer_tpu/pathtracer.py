@@ -209,6 +209,7 @@ class PathTracer:
 
         self._bvh2_height = None
         self._cluster = None
+        self._collapse_plan = None  # new topology → new plan (refit_bvh)
         with timer.phase("lbvh2_ms"):
             if self.leaf_size > 1 and self.builder == "sah":
                 from .ops.cluster import build_sah2_clustered
@@ -270,6 +271,50 @@ class PathTracer:
         print(f"BVH Collapse Time: {self.build_stats['collapse_ms']:.2f} ms")
         print(f"Widen/Upload Time: {self.build_stats['widen_ms']:.2f} ms")
         print(f"BVH Build Time: {self.build_stats['total_ms']:.2f} ms")
+
+    def refit_bvh(self, triangles) -> None:
+        """Refit the existing BVH to deformed geometry — same triangle count,
+        moved vertices — instead of rebuilding.
+
+        The reference has no refit: every deformation pays the full rebuild
+        (PathTracer.js:671-749, seconds per frame). Here topology, cluster
+        assignment, AND the BVH2→BVH4 collapse decisions all survive a
+        deformation, so a refit is one bottom-up bounds sweep
+        (ops/cluster.py::refit_lbvh2_clustered) plus a static bounds gather
+        (ops/collapse.py::collapse_apply_refit — bit-identical to the full
+        collapse, tests/test_collapse.py) and a records refresh. Falls back
+        to build_bvh when the tree can't be reused (different triangle
+        count, non-clustered build, or a non-collapse widener)."""
+        tris = np.asarray(triangles, dtype=np.float32)
+        if tris.ndim == 1:
+            tris = tris.reshape(-1, 3, 3)
+        if (self._cluster is None or self.widener != "collapse"
+                or self._bvh2 is None
+                or len(tris) != len(self.triangles_data)):
+            self.build_bvh(tris)
+            return
+        from .ops.cluster import refit_lbvh2_clustered
+        from .ops.collapse import collapse_apply_refit, collapse_plan
+
+        timer = PhaseTimer()
+        sweeps = (self._bvh2_height + 2
+                  if self._bvh2_height is not None else None)
+        if getattr(self, "_collapse_plan", None) is None:
+            with timer.phase("plan_ms"):
+                self._collapse_plan = collapse_plan(self._bvh2, sweeps=sweeps)
+        with timer.phase("refit_ms"):
+            cs_r = refit_lbvh2_clustered(self._cluster, jnp.asarray(tris),
+                                         num_sweeps=sweeps)
+            self._cluster = cs_r
+            self._bvh2 = cs_r.bvh2
+            self._bvh4 = collapse_apply_refit(self._collapse_plan,
+                                              cs_r.bvh2.bounds_u32)
+            self._wide = make_wide_bvh(self._bvh4)
+            self._qnodes = self._make_qnodes()
+            jax.block_until_ready(self._qnodes)
+        self.triangles_data = tris
+        self._tris_dev = jnp.asarray(tris)
+        self.build_stats = {**self.build_stats, **timer.to_dict()}
 
     def _make_qnodes(self) -> jax.Array:
         """Supernode records for the Pallas kernels — packed-leaf aware."""

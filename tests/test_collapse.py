@@ -143,3 +143,44 @@ def test_single_triangle_collapse(rng):
     assert int(bvh4.num_nodes) == 1
     assert int(np.asarray(bvh4.meta)[0]) == LEAF_FLAG | 0
     assert np.all(np.asarray(bvh4.children)[0] == INVALID)
+
+
+@pytest.mark.parametrize("builder", ["morton", "sah"])
+def test_collapse_plan_refit_parity(rng, builder):
+    """collapse_plan + collapse_apply_refit over a refitted tree must be
+    bit-identical to the full collapse — the dynamic-scene fast path
+    replaces four per-frame fixed-point sweeps with one static gather."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.cluster import (
+        build_lbvh2_clustered,
+        build_sah2_clustered,
+        refit_lbvh2_clustered,
+    )
+    from raytracer_tpu.ops.collapse import collapse_apply_refit, collapse_plan
+
+    tris = _random_tris(rng, 257)
+    if builder == "sah":
+        try:
+            cs, hgt = build_sah2_clustered(tris, leaf_size=8)
+        except Exception as e:
+            pytest.skip(f"native SAH unavailable: {e}")
+        sweeps = hgt + 2
+    else:
+        cs = build_lbvh2_clustered(tris, leaf_size=8)
+        sweeps = None
+
+    plan = collapse_plan(cs.bvh2, sweeps=sweeps)
+    for phase in (0.0, 0.7, 2.1):
+        deformed = tris * (1.0 + 0.1 * np.sin(phase)) + np.float32(phase)
+        cs_r = refit_lbvh2_clustered(cs, jnp.asarray(deformed),
+                                     num_sweeps=sweeps)
+        full = collapse_lbvh2_to_bvh4(cs_r.bvh2, sweeps=sweeps)
+        fast = collapse_apply_refit(plan, cs_r.bvh2.bounds_u32)
+        assert int(fast.num_nodes) == int(full.num_nodes)
+        np.testing.assert_array_equal(np.asarray(fast.children),
+                                      np.asarray(full.children))
+        np.testing.assert_array_equal(np.asarray(fast.meta),
+                                      np.asarray(full.meta))
+        np.testing.assert_array_equal(np.asarray(fast.bounds_u32),
+                                      np.asarray(full.bounds_u32))
