@@ -551,6 +551,15 @@ def main(argv=None):
     except Exception:
         pass
 
+    # self-sufficient like bench.py: build the native SAH library (≈7 s)
+    # instead of silently degrading configs to the Morton fallback
+    try:
+        from raytracer_tpu.native import bvhtool as _bvhtool
+
+        _bvhtool.ensure_built(log=log)
+    except Exception as e:
+        log(f"[suite] native tooling unavailable: {e}")
+
     configs = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     targets = [args.config] if args.config else [1, 2, 3, 4, 5]
     for c in targets:

@@ -53,6 +53,45 @@ def _load_lib():
 _lib = _load_lib()
 
 
+def ensure_built(log=None) -> bool:
+    """Build lib/libbvhtool.so via native/build.sh if it is missing or stale
+    (missing a required symbol), then (re)load it.
+
+    The round-4 driver capture regressed 2× because the bench environment
+    never ran the 6.6-second build and bench.py silently fell back to the
+    Morton/K=8 path — the benchmark must be self-sufficient. Returns True
+    when the library is loaded with the full symbol set; False (after
+    logging the compiler output) only when the compile itself fails.
+    """
+    global _lib
+    if _lib is not None and getattr(_lib, "bvh_build_sah_clustered", None) is not None:
+        return True
+    import subprocess
+
+    script = Path(__file__).resolve().parent / "build.sh"
+    if log:
+        log(f"[bvhtool] lib/libbvhtool.so missing or stale — building via {script}")
+    try:
+        proc = subprocess.run(
+            ["bash", str(script)], capture_output=True, text=True, timeout=300
+        )
+    except (OSError, subprocess.TimeoutExpired) as e:
+        if log:
+            log(f"[bvhtool] native build FAILED to run: {e}")
+        return False
+    if proc.returncode != 0:
+        if log:
+            log(f"[bvhtool] native build FAILED (rc={proc.returncode}):\n"
+                f"{proc.stdout}\n{proc.stderr}")
+        return False
+    _lib = _load_lib()
+    ok = _lib is not None and getattr(_lib, "bvh_build_sah_clustered", None) is not None
+    if log:
+        log("[bvhtool] native build OK" if ok else
+            "[bvhtool] native build ran but symbols still missing")
+    return ok
+
+
 def available() -> bool:
     return _lib is not None
 

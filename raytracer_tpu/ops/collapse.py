@@ -381,6 +381,21 @@ def collapse_plan(bvh2: LBVH2, sweeps: int | None = None) -> CollapsePlan:
     )
 
 
+def _flush_f16_subnormals(b: jax.Array) -> jax.Array:
+    """Flush fp16 subnormal halfwords of packed u32 bound words to signed
+    zero — exactly what ``_f32_to_f16_bits_trunc`` does to a decoded
+    subnormal (e <= 0 → sign only), so a verbatim gather matches the full
+    collapse's re-pack even for |component| < 2^-14 (ADVICE r4)."""
+
+    def fl(h):
+        return jnp.where((h & jnp.uint32(0x7C00)) == 0,
+                         h & jnp.uint32(0x8000), h)
+
+    lo = b & jnp.uint32(0xFFFF)
+    hi = b >> jnp.uint32(16)
+    return fl(lo) | (fl(hi) << jnp.uint32(16))
+
+
 def collapse_apply_refit(plan: CollapsePlan, bounds2_u32: jax.Array) -> BVH4:
     """BVH4 from a precomputed plan + REFITTED BVH2 bounds: one gather.
 
@@ -389,10 +404,20 @@ def collapse_apply_refit(plan: CollapsePlan, bounds2_u32: jax.Array) -> BVH4:
     in this package guarantees: leaf boxes are conservatively packed once and
     unions of fp16-representable values are fp16-representable, so the
     truncating re-pack the full collapse performs (step 4) is the identity
-    and each surviving node's merged bound equals its own BVH2 bound.
-    Parity-tested in tests/test_collapse.py."""
+    and each surviving node's merged bound equals its own BVH2 bound. The one
+    non-identity case of that re-pack — fp16 subnormal components, common in
+    axis-at-zero scenes (|x| < 2^-14 after the conservative 1-ULP leaf
+    expansion) — is reproduced here by flushing internal rows' subnormal
+    halfwords to signed zero, as the full collapse's truncation does (leaf
+    rows pass verbatim there too). For raw BUILD bounds (which keep the
+    builder's per-sweep conservative internal expansion) the gathered boxes
+    may be a few fp16 ULPs larger than the full collapse's re-merged ones —
+    conservative containment, never a miss. Parity-tested in
+    tests/test_collapse.py including a ground-plane-at-zero scene."""
     m = plan.src.shape[0]
     b4 = bounds2_u32[jnp.clip(plan.src, 0, m - 1)]
+    internal = plan.meta == 0
+    b4 = jnp.where(internal[:, None], _flush_f16_subnormals(b4), b4)
     b4 = jnp.where(plan.emitted[:, None], b4, jnp.uint32(0))
     return BVH4(
         bounds_u32=b4, children=plan.children, meta=plan.meta,

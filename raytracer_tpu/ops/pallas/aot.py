@@ -55,6 +55,11 @@ _MEM: dict[str, object] = {}
 # cold path), "export" (cache miss: full lowering paid). bench.py reports it.
 CACHE_STATS = {"memory": 0, "disk": 0, "export": 0}
 
+# per-export-name load cost: {"source": "disk"|"export", "load_s": float}.
+# Splits the cold-start bill (deserialize vs full lowering) so build-time
+# variance can be attributed instead of asserted (round-4 verdict weak #6).
+CACHE_TIMINGS: dict[str, dict] = {}
+
 
 def _register_pytrees() -> None:
     """Exports whose arguments include the library NamedTuples (WideBVH,
@@ -270,18 +275,29 @@ def cached_export(name: str, make_fn, arg_specs, *, platform: str | None = None)
         CACHE_STATS["memory"] += 1
         return _MEM[key].call
 
+    import time as _time
+
     d = aot_cache_dir()
     path = d / f"{key}.jaxexport"
     exp = None
+    t_load = _time.perf_counter()
     if path.exists():
         try:
             exp = jax.export.deserialize(path.read_bytes())
             CACHE_STATS["disk"] += 1
+            CACHE_TIMINGS[name] = {
+                "source": "disk",
+                "load_s": round(_time.perf_counter() - t_load, 3),
+            }
         except Exception:
             exp = None  # version skew etc. — fall through to re-export
     if exp is None:
         CACHE_STATS["export"] += 1
         exp = jax.export.export(jax.jit(fn))(*arg_specs)
+        CACHE_TIMINGS[name] = {
+            "source": "export",
+            "load_s": round(_time.perf_counter() - t_load, 3),
+        }
         try:
             d.mkdir(parents=True, exist_ok=True)
             tmp = path.with_suffix(".tmp")

@@ -590,6 +590,12 @@ class PathTracer:
         data = artifacts.load_scene_npz(path)
         self.triangles_data = data["triangles"].reshape(-1, 3, 3)
         self._tris_dev = jnp.asarray(self.triangles_data)
+        # The restored tree is a different topology: a stale CollapsePlan
+        # (or height) from a previously built scene with the same triangle
+        # count would pass refit_bvh's guard and silently corrupt the BVH4
+        # (ADVICE r4). build_bvh resets these; checkpoint load must too.
+        self._collapse_plan = None
+        self._bvh2_height = None
         if "bvh2_bounds" not in data:
             self.build_bvh(self.triangles_data)
             return

@@ -184,3 +184,58 @@ def test_collapse_plan_refit_parity(rng, builder):
                                       np.asarray(full.meta))
         np.testing.assert_array_equal(np.asarray(fast.bounds_u32),
                                       np.asarray(full.bounds_u32))
+
+
+def test_collapse_plan_refit_parity_subnormal_bounds(rng):
+    """Parity must hold for fp16-SUBNORMAL bound components (|x| < 2^-14,
+    incl. exactly 0.0 after the conservative 1-ULP leaf expansion) — common
+    in ground-plane-at-y=0 scenes. The full collapse's truncating re-pack
+    flushes such halfwords to signed zero (e.g. a flat plane's max-y packs
+    0x0001 → 0x0000); collapse_apply_refit reproduces that flush (ADVICE
+    r4)."""
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.cluster import (
+        build_lbvh2_clustered,
+        refit_lbvh2_clustered,
+    )
+    from raytracer_tpu.ops.collapse import collapse_apply_refit, collapse_plan
+
+    # every tri flat at y=0 (so internal rows carry subnormal max-y words),
+    # plus sub-2^-14 x extents on a tail cluster
+    n = 129
+    tris = _random_tris(rng, n)
+    tris[:, :, 1] = 0.0
+    tris[-8:, :, 0] *= np.float32(1e-6)
+    tris = tris.astype(np.float32)
+
+    cs = build_lbvh2_clustered(tris, leaf_size=8)
+    plan = collapse_plan(cs.bvh2)
+    cs_r = refit_lbvh2_clustered(cs, jnp.asarray(tris))
+    full = collapse_lbvh2_to_bvh4(cs_r.bvh2)
+    fast = collapse_apply_refit(plan, cs_r.bvh2.bounds_u32)
+    np.testing.assert_array_equal(np.asarray(fast.bounds_u32),
+                                  np.asarray(full.bounds_u32))
+    np.testing.assert_array_equal(np.asarray(fast.children),
+                                  np.asarray(full.children))
+    # sanity: the flush actually fired (internal rows carried subnormal
+    # max-y halfwords before it)
+    m = plan.src.shape[0]
+    raw = np.asarray(cs_r.bvh2.bounds_u32)[
+        np.clip(np.asarray(plan.src), 0, m - 1)]
+    raw = np.where(np.asarray(plan.emitted)[:, None], raw, 0)
+    assert (raw != np.asarray(fast.bounds_u32)).any()
+
+    # Bit parity is promised for REFITTED bounds. Raw BUILD bounds keep the
+    # builder's per-sweep conservative internal expansion, so the plan path
+    # may be a few fp16 ULPs LARGER there — assert containment instead (the
+    # render contract).
+    fast0 = collapse_apply_refit(plan, cs.bvh2.bounds_u32)
+    full0 = collapse_lbvh2_to_bvh4(cs.bvh2)
+    np.testing.assert_array_equal(np.asarray(fast0.children),
+                                  np.asarray(full0.children))
+    fmn, fmx = unpack_bounds_u32(np.asarray(full0.bounds_u32))
+    qmn, qmx = unpack_bounds_u32(np.asarray(fast0.bounds_u32))
+    emitted = np.asarray(plan.emitted)
+    assert (qmn[emitted] <= fmn[emitted]).all()
+    assert (qmx[emitted] >= fmx[emitted]).all()

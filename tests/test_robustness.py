@@ -67,6 +67,37 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(pt2.render()), img_before)
 
 
+def test_refit_after_checkpoint_load_rebuilds_plan(tmp_path):
+    """A CollapsePlan belongs to one topology. Loading a checkpoint of a
+    DIFFERENT scene with the same triangle count must not reuse the previous
+    scene's plan in refit_bvh (it would pass the same-count fallback guard
+    and silently corrupt the BVH4 — ADVICE r4)."""
+    from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
+
+    tris_a = procgen.make_icosphere(2)
+    rng = np.random.default_rng(7)
+    tris_b = (tris_a[rng.permutation(len(tris_a))]
+              + rng.normal(0, 0.3, tris_a.shape)).astype(np.float32)
+
+    pt = PathTracer(width=32, height=32)
+    pt.set_scene(Scene().set_triangles(tris_a))
+    pt.refit_bvh(tris_a * np.float32(1.05))   # materializes plan for scene A
+
+    ckpt = tmp_path / "b.npz"
+    pt_b = PathTracer(width=32, height=32)
+    pt_b.set_scene(Scene().set_triangles(tris_b))
+    pt_b.save_checkpoint(ckpt)
+
+    pt.load_checkpoint(ckpt)                  # same tri count, new topology
+    assert pt._collapse_plan is None and pt._bvh2_height is None
+    pt.refit_bvh(pt.triangles_data)           # must derive scene B's plan
+    full = collapse_lbvh2_to_bvh4(pt._bvh2)
+    np.testing.assert_array_equal(np.asarray(pt._bvh4.children),
+                                  np.asarray(full.children))
+    np.testing.assert_array_equal(np.asarray(pt._bvh4.bounds_u32),
+                                  np.asarray(full.bounds_u32))
+
+
 def test_huge_coordinates_survive_fp16_packing():
     """Coordinates beyond fp16 range saturate to ±inf bounds but traversal
     still terminates and in-range geometry renders."""
