@@ -148,8 +148,15 @@ def _cluster_qnodes(wide, tris, leaf_k=int(os.environ.get("RT_SUITE_LEAF", "32")
 
     try:
         from raytracer_tpu.ops.cluster import build_sah2_clustered
-        from raytracer_tpu.ops.collapse import collapse_lbvh2_to_bvh4
+        from raytracer_tpu.ops.collapse import (collapse_lbvh2_to_bvh4,
+                                                collapse_lbvh2_to_bvh8)
         from raytracer_tpu.ops.trace import make_wide_bvh
+
+        # RT_WIDE=8 routes the suite through 8-wide records (half the
+        # record visits on whole-tree divergent walks — tools/mb_bvh8.py)
+        collapse = (collapse_lbvh2_to_bvh8
+                    if os.environ.get("RT_WIDE") == "8"
+                    else collapse_lbvh2_to_bvh4)
 
         tri_in, orig_ids = tris, None
         if split_extent:
@@ -162,7 +169,7 @@ def _cluster_qnodes(wide, tris, leaf_k=int(os.environ.get("RT_SUITE_LEAF", "32")
             tri_in = jnp.asarray(frags)
 
         cs, h = build_sah2_clustered(tri_in, leaf_size=leaf_k)
-        wide_c = make_wide_bvh(collapse_lbvh2_to_bvh4(cs.bvh2, sweeps=h + 2))
+        wide_c = make_wide_bvh(collapse(cs.bvh2, sweeps=h + 2))
         tri_ids = cs.tri_order
         if orig_ids is not None:
             tri_ids = jnp.asarray(orig_ids)[cs.tri_order.astype(jnp.int32)]
@@ -303,6 +310,11 @@ def config4(frames):
     # on-device frame batch — one exported call per nb frames (see config2's
     # batching note: the ~50-75 ms axon per-call boundary is not TPU time)
     nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
+    # RT_PT_COMPACT=0 drops the per-wave octant/Morton re-sort — the A/B
+    # that bounds what ANY in-kernel binning scheme could save (the glue
+    # is all it can remove; octant purity itself is already delivered by
+    # the sort — PERF.md r5)
+    compact = qn is not None and os.environ.get("RT_PT_COMPACT", "1") == "1"
 
     def make_render_frame():
         def render_frame(wide_, tris_, qn_, seed):
@@ -310,7 +322,7 @@ def config4(frames):
                 s, a = carry
                 sfr, st = pt_sample_frame(
                     wide_, tris_, pos, quat, jax.random.key(seed + i), w, h,
-                    bounces=bounces, qnodes=qn_, compact=qn is not None,
+                    bounces=bounces, qnodes=qn_, compact=compact,
                     leaf_k=leaf_k, stats=True, tile_primary=qn is not None,
                 )
                 return (s + jnp.sum(sfr), a + st["alive_rays"]), 0
@@ -324,7 +336,8 @@ def config4(frames):
         from raytracer_tpu.ops.pallas.aot import cached_export
 
         _call = cached_export(
-            f"suite4_{w}x{h}_b{bounces}_k{leaf_k}_nb{nb}", make_render_frame,
+            f"suite4_{w}x{h}_b{bounces}_k{leaf_k}_nb{nb}"
+            + ("" if compact else "_nc"), make_render_frame,
             (jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), wide),
              jax.ShapeDtypeStruct(tris.shape, tris.dtype),
              jax.ShapeDtypeStruct(qn.shape, qn.dtype),

@@ -219,7 +219,8 @@ def refit_lbvh2_clustered(
     return ClusteredScene(bvh2, tris_sorted, cs.tri_order, k)
 
 
-def records_pipeline(cs: ClusteredScene, *, height: int | None = None):
+def records_pipeline(cs: ClusteredScene, *, height: int | None = None,
+                     width: int = 4):
     """collapse → widen → supernode records as ONE AOT-exported program.
 
     The three device programs cost ~25–60 s of per-process lowering+compile
@@ -230,17 +231,18 @@ def records_pipeline(cs: ClusteredScene, *, height: int | None = None):
     the static shape-derived bound is used. Returns qnodes only — callers
     needing the intermediate BVH4/WideBVH should run the pipeline unfused.
     """
-    from .collapse import collapse_lbvh2_to_bvh4
+    from .collapse import collapse_lbvh2_to_bvh4, collapse_lbvh2_to_bvh8
     from .pallas.aot import cached_export
     from .pallas.traverse import make_qnodes
     from .trace import make_wide_bvh
 
     k = int(cs.leaf_size)
     sweeps = None if height is None else int(height) + 2
+    collapse = {4: collapse_lbvh2_to_bvh4, 8: collapse_lbvh2_to_bvh8}[width]
 
     def make():
         def run(bvh2, tris_sorted, tri_order):
-            wide = make_wide_bvh(collapse_lbvh2_to_bvh4(bvh2, sweeps=sweeps))
+            wide = make_wide_bvh(collapse(bvh2, sweeps=sweeps))
             return make_qnodes(wide, tris_sorted, tri_ids=tri_order,
                                leaf_size=k)
         return run
@@ -249,7 +251,7 @@ def records_pipeline(cs: ClusteredScene, *, height: int | None = None):
         return jax.ShapeDtypeStruct(a.shape, a.dtype)
 
     call = cached_export(
-        f"records_k{k}_s{'auto' if sweeps is None else sweeps}",
+        f"records_k{k}_w{width}_s{'auto' if sweeps is None else sweeps}",
         make,
         (jax.tree.map(spec, cs.bvh2), spec(cs.tris_sorted),
          spec(cs.tri_order)),

@@ -47,6 +47,7 @@ __all__ = [
     "BVH4",
     "CollapsePlan",
     "collapse_lbvh2_to_bvh4",
+    "collapse_lbvh2_to_bvh8",
     "collapse_plan",
     "collapse_apply_refit",
     "promote_lbvh2_to_bvh4_wide",
@@ -276,6 +277,175 @@ def collapse_lbvh2_to_bvh4(bvh2: LBVH2, sweeps: int | None = None) -> BVH4:
     return _collapse_impl(
         bvh2.bounds_u32, bvh2.left, bvh2.right, bvh2.meta, bvh2.num_nodes,
         sweeps=sweeps,
+    )
+
+
+def _subtree_tri_counts(left: jax.Array, right: jax.Array, leaf: jax.Array,
+                        sweeps: int) -> jax.Array:
+    """Per-node triangle count of the BVH2 subtree (leaves = 1), bottom-up."""
+    m = left.shape[0]
+
+    def g(arr, idx):
+        return arr[jnp.clip(idx.astype(jnp.int32), 0, m - 1)]
+
+    def body(cnt):
+        return jnp.where(leaf, 1, g(cnt, left) + g(cnt, right))
+
+    return _fixed_point(body, jnp.ones((m,), jnp.int32), sweeps)
+
+
+def _gather_kids_wide(left: jax.Array, right: jax.Array, leaf: jax.Array,
+                      width: int, weight: jax.Array) -> jax.Array:
+    """(M, width) greedy treelet gather: starting from [L, R], repeatedly
+    split the valid INTERNAL kid with the LARGEST subtree (by ``weight``,
+    e.g. triangle count) until ``width`` slots are filled or every kid is a
+    leaf. The largest-subtree heuristic keeps the emitted tree balanced —
+    unlike the reference's first-internal expansion (PathTracer.js:608-621),
+    which this package only mirrors for the parity-pinned 4-wide collapse
+    (``_gather_kids``). Valid for internal rows only; leaf rows → INVALID."""
+    m = left.shape[0]
+    inv = jnp.uint32(INVALID)
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+
+    kids = jnp.full((m, width), inv)
+    kids = kids.at[:, 0].set(left).at[:, 1].set(right)
+    nvalid = jnp.full((m,), 2, jnp.int32)
+
+    for _ in range(width - 2):
+        ki = jnp.clip(kids.astype(jnp.int32), 0, m - 1)
+        valid = kids != inv
+        internal_k = valid & ~leaf[ki]
+        w = jnp.where(internal_k, weight[ki], -1)      # (M, width)
+        j = jnp.argmax(w, axis=-1).astype(jnp.int32)   # widest internal kid
+        can = (jnp.max(w, axis=-1) > 0) & (nvalid < width)
+        node = jnp.take_along_axis(ki, j[:, None], axis=1)[:, 0]
+        lkid, rkid = left[node], right[node]
+        # split slot j in place; append the sibling at the first free slot
+        kids = jnp.where((cols == j[:, None]) & can[:, None],
+                         lkid[:, None], kids)
+        kids = jnp.where((cols == nvalid[:, None]) & can[:, None],
+                         rkid[:, None], kids)
+        nvalid = nvalid + can.astype(jnp.int32)
+
+    return jnp.where(leaf[:, None], inv, kids)
+
+
+@partial(jax.jit, static_argnames=("num_nodes2", "width", "sweeps"))
+def _collapse_wide_impl(
+    bounds2: jax.Array,
+    left2: jax.Array,
+    right2: jax.Array,
+    meta2: jax.Array,
+    num_nodes2: int,
+    width: int,
+    sweeps: int | None = None,
+) -> BVH4:
+    """Width-generalized greedy re-emission collapse (steps 1-5 of
+    ``_collapse_impl`` with ``width`` child slots per node). Used for the
+    8-wide traversal trees (PERF.md roadmap: BVH8 upper levels halve record
+    visits on the scalar-issue-bound consume loop); the 4-wide path keeps
+    the separate reference-parity implementation above."""
+    m = num_nodes2
+    n_tris = (m + 1) // 2
+    if sweeps is None:
+        sweeps = _static_height_bound(n_tris)
+    leaf = (meta2 & jnp.uint32(LEAF_FLAG)) != 0
+    inv = jnp.uint32(INVALID)
+
+    if m == 1:
+        return BVH4(
+            bounds_u32=bounds2,
+            children=jnp.full((1, width), inv),
+            meta=meta2,
+            num_nodes=jnp.uint32(1),
+        )
+
+    counts = _subtree_tri_counts(left2, right2, leaf, sweeps)
+    kids = _gather_kids_wide(left2, right2, leaf, width, counts)
+    kid_valid = kids != inv
+    kids_i = jnp.clip(kids.astype(jnp.int32), 0, m - 1)
+
+    # 1. reachability
+    def reach_body(isw):
+        src = (isw > 0) & ~leaf
+        upd = isw
+        for k in range(width):
+            tgt = jnp.where(src & kid_valid[:, k], kids_i[:, k], m)
+            upd = upd.at[tgt].max(jnp.where(src, 1, 0), mode="drop")
+        return upd
+
+    isw = jnp.zeros((m,), jnp.int32).at[0].set(1)
+    isw = _fixed_point(reach_body, isw, sweeps)
+    iswb = isw > 0
+
+    # 2. wide-subtree sizes, bottom-up
+    def size_body(size):
+        s = 1 + jnp.sum(jnp.where(kid_valid, size[kids_i], 0), axis=-1)
+        return jnp.where(leaf, 1, s)
+
+    size = _fixed_point(size_body, jnp.ones((m,), jnp.int32), sweeps)
+
+    # 3. pre-order output index, top-down
+    kid_sizes = jnp.where(kid_valid, size[kids_i], 0)
+    elder = jnp.cumsum(kid_sizes, axis=-1) - kid_sizes
+
+    def idx_body(idx):
+        upd = idx
+        src = iswb & ~leaf
+        for k in range(width):
+            tgt = jnp.where(src & kid_valid[:, k], kids_i[:, k], m)
+            upd = upd.at[tgt].set(idx + 1 + elder[:, k], mode="drop")
+        return upd
+
+    idx = _fixed_point(idx_body, jnp.zeros((m,), jnp.int32), sweeps)
+
+    # 4. merged bounds, bottom-up in f32
+    mn0, mx0 = _decode_bounds(bounds2)
+
+    def bounds_body(state):
+        bmn, bmx = state
+        inf = jnp.float32(jnp.inf)
+        kmn = jnp.where(kid_valid[..., None], bmn[kids_i], inf)
+        kmx = jnp.where(kid_valid[..., None], bmx[kids_i], -inf)
+        return (
+            jnp.where(leaf[:, None], mn0, jnp.min(kmn, axis=1)),
+            jnp.where(leaf[:, None], mx0, jnp.max(kmx, axis=1)),
+        )
+
+    fmn, fmx = _fixed_point(bounds_body, (mn0, mx0), sweeps)
+
+    # 5. emit into pre-order rows
+    node_bounds = jnp.where(leaf[:, None], bounds2, _pack_bounds_trunc(fmn, fmx))
+    node_children = jnp.where(
+        leaf[:, None] | ~kid_valid, inv, idx[kids_i].astype(jnp.uint32)
+    )
+    node_meta = jnp.where(leaf, meta2, jnp.uint32(0))
+
+    rows = jnp.where(iswb, idx, m)
+    out_bounds = jnp.zeros((m, 3), jnp.uint32).at[rows].set(node_bounds, mode="drop")
+    out_children = jnp.full((m, width), inv).at[rows].set(node_children, mode="drop")
+    out_meta = jnp.zeros((m,), jnp.uint32).at[rows].set(node_meta, mode="drop")
+    num_nodes_w = jnp.sum(iswb).astype(jnp.uint32)
+
+    return BVH4(
+        bounds_u32=out_bounds, children=out_children, meta=out_meta,
+        num_nodes=num_nodes_w,
+    )
+
+
+def collapse_lbvh2_to_bvh8(bvh2: LBVH2, sweeps: int | None = None) -> BVH4:
+    """8-wide greedy collapse → BVH8 in the BVH4 container (children (M,8)).
+
+    Our own TPU-native extension beyond the reference's 4-wide collapse
+    (PathTracer.js:506-667): half the record visits per traversal at ~2×
+    the per-visit slot work — a win exactly when the consume loop's FIXED
+    per-visit cost (pop, fetch logistics, sort-network overhead) dominates
+    (A/B'd on the framed headline, tools/mb_bvh8.py). Treelets are gathered
+    largest-subtree-first for balance; downstream (make_wide_bvh,
+    make_qnodes, the Pallas kernel) is width-agnostic."""
+    return _collapse_wide_impl(
+        bvh2.bounds_u32, bvh2.left, bvh2.right, bvh2.meta, bvh2.num_nodes,
+        width=8, sweeps=sweeps,
     )
 
 

@@ -110,18 +110,40 @@ _SP, _PEND, _VISITS, _CURTILE, _BUF, _DMA0, _DMA1, _NEXT = range(8)
 # Device-side data preparation (jitted once per scene)
 # ---------------------------------------------------------------------------
 
-def rec_layout(leaf_size: int) -> tuple[int, int, int]:
-    """(verts_base, ids_base, record_width) for K = leaf_size tris/leaf.
+def rec_layout(leaf_size: int, width: int = 4) -> tuple[int, int, int]:
+    """(verts_base, ids_base, record_width) for K = leaf_size tris/leaf
+    and ``width`` child slots per record (4 = reference-parity BVH4
+    collapse; 8 = the BVH8 greedy collapse, ops/collapse.py).
 
+    Header: [0 : 6·width] child AABBs, [6·width : 7·width] encoded refs,
+    [7·width : 8·width] per-slot scalars (count / sphere radius).
     Leaf triangle j of slot k occupies 12 words at vbase + (k·K+j)·12:
     [v0(3), e1(3), e2(3), g(3)] with e1 = v1−v0, e2 = v2−v0 and
     g = e1×e2 (unnormalized geometric normal) precomputed by make_qnodes
     with the exact f32 op sequence the kernel used to run per visit —
     bit-identical results, ~18 fewer scalar instructions per MT on the
     issue-bound core."""
-    vbase = 32
-    ibase = vbase + 48 * leaf_size
-    return vbase, ibase, -(-(ibase + 4 * leaf_size) // 128) * 128
+    vbase = 8 * width
+    ibase = vbase + width * 12 * leaf_size
+    return vbase, ibase, -(-(ibase + width * leaf_size) // 128) * 128
+
+
+def infer_rec_width(leaf_k: int, recw: int) -> int:
+    """Recover the record's child-slot count from its total word width.
+
+    qnodes carry their geometry in their shape — (M, recw//128, 128) —
+    and (leaf_k, width) → recw is injective over the supported widths
+    (the 8-wide header+payload is strictly larger than the 4-wide one
+    for every K), so wrappers can stay width-agnostic in their API."""
+    for width in (4, 8):
+        if rec_layout(leaf_k, width)[2] == recw:
+            return width
+    raise ValueError(
+        f"record width {recw} matches no supported child count for "
+        f"leaf_k={leaf_k} (expected {rec_layout(leaf_k, 4)[2]} for 4-wide "
+        f"or {rec_layout(leaf_k, 8)[2]} for 8-wide) — pass the leaf_size "
+        "the records were built with"
+    )
 
 
 @partial(jax.jit, static_argnames=("leaf_size",))
@@ -139,7 +161,7 @@ def make_qnodes(
     the cluster-ordered triangles as ``tris`` and the original-id permutation
     as ``tri_ids`` so hit reporting still uses reference indices.
     """
-    m = wide.cref.shape[0]
+    m, wd = wide.cref.shape
     n_tris = tris.shape[0]
     k_sz = leaf_size
     if m >= _MAX_NODES or n_tris >= _MAX_NODES:
@@ -148,13 +170,13 @@ def make_qnodes(
             f"triangles (max {_MAX_NODES - 1}) — indices above 2^24 lose "
             "precision as f32"
         )
-    vbase, ibase, recw = rec_layout(k_sz)
+    vbase, ibase, recw = rec_layout(k_sz, wd)
     rec = jnp.zeros((m, recw), jnp.float32)
 
-    boxes = jnp.concatenate([wide.cmn, wide.cmx], axis=-1).reshape(m, 24)
-    rec = rec.at[:, 0:24].set(boxes)
+    boxes = jnp.concatenate([wide.cmn, wide.cmx], axis=-1).reshape(m, 6 * wd)
+    rec = rec.at[:, 0 : 6 * wd].set(boxes)
 
-    cref = wide.cref  # (M,4) int32: -1 empty, bit30 → leaf|ref, else node idx
+    cref = wide.cref  # (M,w) int32: -1 empty, bit30 → leaf|ref, else node idx
     leaf_bit = jnp.int32(1 << 30)
     is_leaf = (cref & leaf_bit) != 0
     first = (cref & (leaf_bit - 1)) * k_sz     # first triangle row of the leaf
@@ -176,15 +198,15 @@ def make_qnodes(
             cref.astype(jnp.float32),
         ),
     )
-    rec = rec.at[:, 24:28].set(enc)
+    rec = rec.at[:, 6 * wd : 7 * wd].set(enc)
 
-    # [28:32]: triangle count for leaf slots; bounding-sphere radius for
+    # [7w:8w]: triangle count for leaf slots; bounding-sphere radius for
     # internal slots (the cull metric ``max(proj − radius, 0)`` needs it —
     # one scalar read replaces the 17-op gap-distance computation per child)
     count = jnp.clip(n_tris - first, 0, k_sz).astype(jnp.float32)
-    radius = 0.5 * jnp.linalg.norm(wide.cmx - wide.cmn, axis=-1)     # (M,4)
+    radius = 0.5 * jnp.linalg.norm(wide.cmx - wide.cmn, axis=-1)     # (M,w)
     radius = jnp.where(jnp.isfinite(radius), radius, 0.0)
-    rec = rec.at[:, 28:32].set(jnp.where(is_leaf, count, radius))
+    rec = rec.at[:, 7 * wd : 8 * wd].set(jnp.where(is_leaf, count, radius))
 
     # inline leaf triangle data per slot: [v0, e1, e2, g] — the same f32
     # subtraction/cross sequence the kernel's MT used to execute, hoisted
@@ -202,7 +224,7 @@ def make_qnodes(
         axis=-1,
     )
     tri_rec = jnp.concatenate([v0f, e1f, e2f, gf], axis=-1)  # (T, 12)
-    for k in range(4):
+    for k in range(wd):
         idx = first[:, k, None] + jnp.arange(k_sz, dtype=first.dtype)  # (M,K)
         valid = is_leaf[:, k, None] & (idx < n_tris)
         safe = jnp.clip(idx, 0, n_tris - 1).astype(jnp.int32)
@@ -264,8 +286,21 @@ class _Stream:
         return self.read("t")
 
 
+_SORT_NET = {
+    # compare-exchange networks, applied with the descending CE below so the
+    # NEAREST child is pushed last (pops first). 4: the standard 5-CE
+    # network; 8: Batcher/Knuth's optimal 19-CE network.
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    8: [(0, 1), (2, 3), (4, 5), (6, 7),
+        (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (3, 7),
+        (1, 5), (2, 6), (1, 4), (3, 6),
+        (2, 4), (3, 5), (3, 4)],
+}
+
+
 def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
-             leaf_k: int = 1, rd=None, ordered: bool = True):
+             leaf_k: int = 1, rd=None, ordered: bool = True, width: int = 4):
     """Consume stream ``s``'s fetched record: MT its leaf children, slab-
     test its internal children, push survivors near-first. Runs under
     pl.when(pending) — the record DMA has already been waited on.
@@ -284,7 +319,8 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
     stays positive; any-hit full-occlusion drives maxb to 0, which both
     flushes the stack and culls key-0 entries)."""
     f32 = jnp.float32
-    vbase, ibase, _ = rec_layout(leaf_k)
+    vbase, ibase, _ = rec_layout(leaf_k, width)
+    n_acc = width // 2
     sp = istate_scr[_SP, s]
 
     if rd is None:
@@ -295,21 +331,22 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
     best0 = st.read_t()
     maxb2 = maxb_scr[s, 1]
 
-    push_ref = [jnp.int32(0)] * 4
-    push_dist = [f32(0.0)] * 4
-    push_internal = [jnp.bool_(False)] * 4
+    push_ref = [jnp.int32(0)] * width
+    push_dist = [f32(0.0)] * width
+    push_internal = [jnp.bool_(False)] * width
 
     dx, dy, dz = st.dirs()
     # lane-tile shape comes from the stream (the ray-buffer kernel supports
     # wider-than-SUB streams for divergent waves)
-    accs = [jnp.zeros(dx.shape, jnp.int32), jnp.zeros(dx.shape, jnp.int32)]
+    accs = [jnp.zeros(dx.shape, jnp.int32) for _ in range(n_acc)]
     ix, iy, iz = st.invs()
     ox, oy, oz = st.origin()
     (odx, ody, odz), (oox, ooy, ooz) = st.order_d(), st.order_o()
 
-    refcs = [rd(24 + k) for k in range(4)]
-    leaf_flags = [(refcs[k] < 0.0) & (refcs[k] > f32(EMPTY_REF)) for k in range(4)]
-    for k in range(4):
+    refcs = [rd(6 * width + k) for k in range(width)]
+    leaf_flags = [(refcs[k] < 0.0) & (refcs[k] > f32(EMPTY_REF))
+                  for k in range(width)]
+    for k in range(width):
         refc = refcs[k]
         is_internal = refc >= 0.0
 
@@ -331,9 +368,11 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
                 jnp.maximum(t1z, t2z),
             )
             hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < best0)
-        # pack per-slot hit counts into 16-bit fields (≤1024 per field)
-        shift = 16 * (k // 2)
-        accs[k % 2] = accs[k % 2] + jnp.where(hit, jnp.int32(1) << shift, 0)
+        # pack per-slot hit counts into 16-bit fields (≤1024 per field;
+        # 2 slots per int32 accumulator → width/2 lane reductions total)
+        shift = 16 * (k // n_acc)
+        accs[k % n_acc] = accs[k % n_acc] + jnp.where(
+            hit, jnp.int32(1) << shift, 0)
 
         if ordered:
             # near-first ordering: box center projected on the stream ray.
@@ -349,7 +388,7 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
                 + ((mny + mxy) * 0.5 - ooy) * ody
                 + ((mnz + mxz) * 0.5 - ooz) * odz
             )
-            r = rd(28 + k)
+            r = rd(7 * width + k)
             key = proj - r - st.order_slack
             push_dist[k] = key
             push_internal[k] = is_internal & (key < maxb2)
@@ -358,20 +397,17 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
 
         push_ref[k] = refc.astype(jnp.int32)
 
-    # the two lane reductions of this visit (slot-hit counts)
+    # the width/2 lane reductions of this visit (slot-hit counts)
     if "noreduce" in _ABLATE:
         push_ok = push_internal
-        slot_hit = [jnp.bool_(True)] * 4
+        slot_hit = [jnp.bool_(True)] * width
     else:
-        red0 = jnp.sum(accs[0])
-        red1 = jnp.sum(accs[1])
+        reds = [jnp.sum(a) for a in accs]
         slot_hit = [
-            (red0 & 0xFFFF) != 0,
-            (red1 & 0xFFFF) != 0,
-            (red0 >> 16) != 0,
-            (red1 >> 16) != 0,
+            ((reds[k % n_acc] >> (16 * (k // n_acc))) & 0xFFFF) != 0
+            for k in range(width)
         ]
-        push_ok = [push_internal[k] & slot_hit[k] for k in range(4)]
+        push_ok = [push_internal[k] & slot_hit[k] for k in range(width)]
 
     # --- leaf children: MT straight from the inlined vertices, gated by the
     # slab test (a leaf slot that fails the slab — or is occluded beyond
@@ -381,7 +417,7 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
     # K=1 runs all four slots under ONE branch (cheapest when a slot is a
     # single triangle); K>1 branches per slot so a miss slot skips its
     # 37·K scalar vertex reads. ---
-    do_mt = [leaf_flags[k] & slot_hit[k] for k in range(4)]
+    do_mt = [leaf_flags[k] & slot_hit[k] for k in range(width)]
 
     def mt_one(b_ofs, gate, tid, cur, vnx, vny, vnz, vtri):
         """One Möller–Trumbore from the 12-word precomputed record
@@ -450,22 +486,24 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
 
     if "nomt" not in _ABLATE:
         if leaf_k == 1:
-            any_mt = do_mt[0] | do_mt[1] | do_mt[2] | do_mt[3]
+            any_mt = do_mt[0]
+            for k in range(1, width):
+                any_mt = any_mt | do_mt[k]
 
             @pl.when(any_mt)
             def _():
                 hit_regs = read_hit()
-                for k in range(4):
+                for k in range(width):
                     hit_regs = mt_one(
                         vbase + 12 * k, do_mt[k], -refcs[k] - 1.0, *hit_regs
                     )
                 write_hit(*hit_regs)
         else:
-            for k in range(4):
+            for k in range(width):
                 @pl.when(do_mt[k])
                 def _(k=k):
                     hit_regs = read_hit()
-                    cnt = rd(28 + k)
+                    cnt = rd(7 * width + k)
                     for j in range(leaf_k):
                         hit_regs = mt_one(
                             vbase + (k * leaf_k + j) * 12,
@@ -498,14 +536,11 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
         )
 
     if ordered and "nosort" not in _ABLATE:
-        swap_if(0, 1)
-        swap_if(2, 3)
-        swap_if(0, 2)
-        swap_if(1, 3)
-        swap_if(1, 2)
+        for a, b in _SORT_NET[width]:
+            swap_if(a, b)
 
     # branchless pushes: rejected slots write to the dump row STACK_MAX
-    for k in range(4):
+    for k in range(width):
         can = oks[k] & (sp < STACK_MAX - 1)
         sp = jnp.where(can, sp + 1, sp)
         pos = jnp.where(can, sp, STACK_MAX)
@@ -518,7 +553,8 @@ def _consume(s, st: _Stream, node_scr, stack_n, stack_d, maxb_scr, istate_scr,
 
 def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
                       maxb_scr, istate_scr, sems, leaf_k=1,
-                      direct: bool = False, ordered: bool = True):
+                      direct: bool = False, ordered: bool = True,
+                      width: int = 4):
     """Round-robin multi-stream traversal loop for a FIXED set of streams
     (the ray-buffer kernel). Per-stream mutable state lives in SMEM so the
     whole consume step can sit behind ``pl.when`` — a drained or cull-skipped
@@ -571,7 +607,8 @@ def _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
             @pl.when(istate_scr[_PEND, s] != 0)
             def _(s=s, rd=rd):
                 _consume(s, streams[s], node_scr, stack_n, stack_d,
-                         maxb_scr, istate_scr, leaf_k, rd=rd, ordered=ordered)
+                         maxb_scr, istate_scr, leaf_k, rd=rd, ordered=ordered,
+                         width=width)
 
             # branchless double-pop: a culled top entry costs only scalar
             # work here instead of a whole idle iteration slot (~330 ns) —
@@ -631,6 +668,7 @@ def _persistent_kernel(
     num_tiles,          # static python int — total queue length = F · tiles/frame
     ntx,                # static python int — tiles per row
     leaf_k,             # static python int — triangles per leaf record slot
+    rec_width,          # static python int — child slots per record (4 or 8)
     tiles_per_frame,    # static python int — tiles in one frame (nty·ntx)
     cam_ref,            # SMEM (F, 16) f32 per frame: ox,oy,oz, qx,qy,qz,qw, focal, aspect, W, H, seed, roff, coff
     entry_ref,          # SMEM (nty, ntx) i32 — per-tile traversal entry nodes (shared across frames)
@@ -833,7 +871,7 @@ def _persistent_kernel(
             @pl.when(istate_scr[_PEND, s] != 0)
             def _(s=s):
                 _consume(s, streams[s], node_scr, stack_n, stack_d,
-                         maxb_scr, istate_scr, leaf_k)
+                         maxb_scr, istate_scr, leaf_k, width=rec_width)
 
             # drained → flush tile, advance to the next queued tile
             @pl.when((istate_scr[_SP, s] < 0)
@@ -876,6 +914,7 @@ def _persistent_kernel(
 def _raybuf_kernel(
     any_hit,                                           # static python bool
     leaf_k,                                            # static python int
+    rec_width,                                         # static python int — child slots per record
     direct,                                            # static python bool — SMEM-resident tree
     ordered,                                           # static python bool — near-first ordering
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,   # VMEM (NS,SUB,128)
@@ -937,7 +976,7 @@ def _raybuf_kernel(
 
     _traverse_streams(qnodes_ref, streams, node_scr, stack_n, stack_d,
                       maxb_scr, istate_scr, sems, leaf_k, direct=direct,
-                      ordered=ordered)
+                      ordered=ordered, width=rec_width)
 
 
 # ---------------------------------------------------------------------------
@@ -1059,15 +1098,10 @@ def _tiles_call(qnodes, cam_rows, width, height, jitter, leaf_k,
         tbounds = jnp.pad(tbounds, ((0, nty - by), (0, ntx - bx)),
                           constant_values=INF)
 
-    recw = rec_layout(leaf_k)[2]
-    if qnodes.shape[1] * qnodes.shape[2] != recw:
-        raise ValueError(
-            f"qnodes width {qnodes.shape[1] * qnodes.shape[2]} does not match "
-            f"leaf_k={leaf_k} (expected {recw}) — pass the leaf_size the "
-            "records were built with"
-        )
+    recw = qnodes.shape[1] * qnodes.shape[2]
+    rec_width = infer_rec_width(leaf_k, recw)
     return pl.pallas_call(
-        partial(_persistent_kernel, jitter, num_tiles, ntx, leaf_k,
+        partial(_persistent_kernel, jitter, num_tiles, ntx, leaf_k, rec_width,
                 tiles_per_frame),
         grid=(1,),
         in_specs=[
@@ -1208,6 +1242,7 @@ def trace_rays_pallas(
     too weak to prune (A/B per config — PERF.md round 4).
     """
     r = origins.shape[0]
+    rec_width = infer_rec_width(leaf_k, qnodes.shape[1] * qnodes.shape[2])
     grp = NS * sub * 128
     pad = (-r) % grp
     o = jnp.pad(origins, ((0, pad), (0, 0)), constant_values=INF)
@@ -1253,7 +1288,7 @@ def trace_rays_pallas(
             def __setitem__(self, idx, val):
                 self.ref[(0, *((idx,) if not isinstance(idx, tuple) else idx))] = val
 
-        _raybuf_kernel(any_hit, leaf_k, direct, ordered,
+        _raybuf_kernel(any_hit, leaf_k, rec_width, direct, ordered,
                        *[_Sq(x) for x in ins], qn,
                        *[_Sq(x) for x in outs_], *scr)
 
@@ -1263,7 +1298,7 @@ def trace_rays_pallas(
         in_specs=[spec] * 6 + [pl.BlockSpec(memory_space=tree_mem)],
         out_specs=[spec] * 5,
         out_shape=out_shape,
-        scratch_shapes=_scratch_shapes(rec_layout(leaf_k)[2]),
+        scratch_shapes=_scratch_shapes(rec_layout(leaf_k, rec_width)[2]),
         interpret=interpret,
     )(*in_planes, qnodes)
 

@@ -107,7 +107,7 @@ class PathTracer:
     def __init__(self, width: int = 1920, height: int = 1080,
                  widener: str = "collapse", builder: str = "lbvh",
                  leaf_size: int = 1) -> None:
-        if widener not in ("collapse", "promote", "bvh2"):
+        if widener not in ("collapse", "collapse8", "promote", "bvh2"):
             raise ValueError(f"unknown widener {widener!r}")
         if builder not in ("lbvh", "ploc", "sah"):
             raise ValueError(f"unknown builder {builder!r}")
@@ -180,10 +180,14 @@ class PathTracer:
     def _widen(self, bvh2):
         """Apply the configured widener (shared by build_bvh and
         load_checkpoint — restoring no longer silently switches layout)."""
-        if self.widener == "collapse":
+        if self.widener in ("collapse", "collapse8"):
             sweeps = None
             if getattr(self, "_bvh2_height", None) is not None:
                 sweeps = self._bvh2_height + 2
+            if self.widener == "collapse8":
+                from .ops.collapse import collapse_lbvh2_to_bvh8
+
+                return collapse_lbvh2_to_bvh8(bvh2, sweeps=sweeps)
             return collapse_lbvh2_to_bvh4(bvh2, sweeps=sweeps)
         return {
             "promote": promote_lbvh2_to_bvh4_wide,
@@ -236,7 +240,7 @@ class PathTracer:
             jax.block_until_ready(self._bvh2.bounds_u32)
 
         if (self._use_pallas and self._cluster is not None
-                and self.widener == "collapse"):
+                and self.widener in ("collapse", "collapse8")):
             # fused cold-start path: collapse→widen→records in one
             # AOT-exported program; _bvh4/_wide stay lazy (see properties)
             self._bvh4 = None
@@ -245,8 +249,9 @@ class PathTracer:
             with timer.phase("widen_ms"):
                 from .ops.cluster import records_pipeline
 
-                self._qnodes = records_pipeline(self._cluster,
-                                                height=self._bvh2_height)
+                self._qnodes = records_pipeline(
+                    self._cluster, height=self._bvh2_height,
+                    width=8 if self.widener == "collapse8" else 4)
                 jax.block_until_ready(self._qnodes)
         else:
             with timer.phase("collapse_ms"):
