@@ -310,11 +310,11 @@ def config4(frames):
     # on-device frame batch — one exported call per nb frames (see config2's
     # batching note: the ~50-75 ms axon per-call boundary is not TPU time)
     nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
-    # RT_PT_COMPACT=0 drops the per-wave octant/Morton re-sort — the A/B
-    # that bounds what ANY in-kernel binning scheme could save (the glue
-    # is all it can remove; octant purity itself is already delivered by
-    # the sort — PERF.md r5)
-    compact = qn is not None and os.environ.get("RT_PT_COMPACT", "1") == "1"
+    # Between-wave compaction measured NEGATIVE here in round 5 (the
+    # argsort+gather glue costs more than the stream coherence it buys now
+    # that waves run in tile-block lane order with lane parking — PERF.md
+    # r5 #2: 76.2 vs 98.6 ms/frame). RT_PT_COMPACT=1 restores it.
+    compact = qn is not None and os.environ.get("RT_PT_COMPACT", "0") == "1"
 
     def make_render_frame():
         def render_frame(wide_, tris_, qn_, seed):

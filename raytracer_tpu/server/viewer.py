@@ -66,6 +66,7 @@ class ViewerState:
         self._pending_mouse = [0.0, 0.0]
         self._last_input = time.monotonic()
         self._idle_published = False
+        self._inflight = None   # (device frame, scale) dispatched last step
         self._stop = threading.Event()
 
     # -- input ------------------------------------------------------------
@@ -108,14 +109,32 @@ class ViewerState:
         )
         scale = self.stream_scale if active else 1
         if scale > 1:
-            img = np.asarray(self.tracer.render_stream(scale))
+            dev = self.tracer.render_stream(scale)
         else:
-            img = np.asarray(self.tracer.render())[..., :3]
+            dev = self.tracer.render()
+        if active:
+            # Pipelined streaming (verdict r4 #9): frame i+1's device render
+            # is DISPATCHED (async, no block) before frame i is pulled over
+            # the ~16 MB/s tunnel and zlib'd, so TPU render and host
+            # pull+encode overlap — throughput ≈ max(render, pull) instead
+            # of their sum, for one frame of extra latency the polling <img>
+            # never notices.
+            prev = self._inflight or (dev, scale)
+            self._inflight = (dev, scale)
+        else:
+            # idle: publish THIS full-res frame synchronously, then park —
+            # a stale in-flight streaming frame must not overwrite it
+            prev = (dev, scale)
+            self._inflight = None
+        pdev, pscale = prev
+        img = np.asarray(pdev)
+        if pscale == 1:
+            img = img[..., :3]
         png = encode_png(img, level=1)   # speed > size for streaming
         with self.lock:
             self.frame_png = png
             self.frame_count += 1
-            self.scale_now = scale
+            self.scale_now = pscale
             if not active:
                 self._idle_published = True
         return True

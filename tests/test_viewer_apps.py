@@ -106,7 +106,10 @@ def test_viewer_endpoints(viewer):
     assert np.linalg.norm(p1 - p0) > 1e-3          # moved forward
     assert state.camera.rotation[1] != 0.0          # yawed from the mouse dx
 
-    # frame changed after moving
+    # frame changed after moving — the streaming loop is PIPELINED (frame
+    # i+1's render is dispatched before frame i is pulled/encoded, viewer.py
+    # step()), so the moved frame publishes on the step after the move
+    state.step(0.1)
     png2 = _get(srv, "/api/frame.png")
     assert png2 != png
 
