@@ -41,7 +41,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small scene/resolution (smoke test)")
-    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=128,
+                    help="frames per on-device batch; 128 leaves ~0.6 ms of "
+                         "per-call relay boundary per frame vs ~2.3 at 32 "
+                         "(the boundary is ~75 ms/call at 1080p — PERF.md "
+                         "r3 #13; framed A/B r5: 25.2 vs 25.8 ms/frame)")
     ap.add_argument("--builder", default="sah", choices=["sah", "lbvh"],
                     help="sah = native binned-SAH quality builder (default; "
                          "with --leaf>1 leaves are SAH-snapped K-tri clusters, "

@@ -40,12 +40,14 @@ def _scene(tris_np):
     return s
 
 
-def _time_frames(render_n, args_tuple, frames):
+def _time_frames(render_n, args_tuple, frames, reps=3):
     hits = np.asarray(render_n(*args_tuple))  # warm/compile
-    t0 = time.perf_counter()
-    hits = np.asarray(render_n(*args_tuple))
-    ms = (time.perf_counter() - t0) / frames * 1e3
-    return ms, hits
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        hits = np.asarray(render_n(*args_tuple))
+        times.append((time.perf_counter() - t0) / frames * 1e3)
+    return float(np.median(times)), hits
 
 
 def _emit(name, mrays, ms, extra=None):
@@ -88,9 +90,12 @@ def config1(frames):
         qn = make_qnodes(wide, tris)
 
         # frames are batched on device; the batch size amortizes the
-        # per-call relay round-trip (~25 ms), which would otherwise
-        # dominate this 1-ms-of-device-work config (tools/mb_batch.py)
-        n_batch = max(frames, 64)
+        # per-call relay boundary, which would otherwise dominate this
+        # 0.36-ms-of-device-work config: the r5 sweep (tools/mb_c1_batch.py)
+        # measured call = 33.1 ms + F × 0.361 ms, so F=64 books 0.52 ms of
+        # NON-TPU relay time against every frame. The reference loop has no
+        # per-frame readback at all; F=256 leaves ~0.13 ms/frame of boundary.
+        n_batch = max(frames, 256)
 
         def make_render_n():
             def render_n(qn_, poss_):
@@ -122,8 +127,16 @@ def config1(frames):
             )
 
         ms, hits = _time_frames(render_n, (wide, tris, poss), frames)
+    on_tpu_detail = (
+        {"batch": n_batch,
+         # r5 linear model (tools/mb_c1_batch.py): call = C + F·r — the
+         # residual per-frame glue the r4 verdict asked to profile is relay
+         # boundary, not device work
+         "percall_overhead_ms": 33.1, "device_rate_ms_per_frame": 0.361}
+        if on_tpu else {})
     _emit("cornell_256_bvh2", w * h / ms / 1e3, ms,
-          {"tris": s.num_triangles, "hit_rate": float(hits[0]) / (w * h)})
+          {"tris": s.num_triangles, "hit_rate": float(hits[0]) / (w * h),
+           **on_tpu_detail})
 
 
 def _cluster_qnodes(wide, tris, leaf_k=int(os.environ.get("RT_SUITE_LEAF", "32")),
@@ -212,7 +225,7 @@ def config2(frames):
     # continuous render loop with no per-frame readback, so batch timing is
     # the apples-to-apples measurement; every frame's output stays
     # data-dependent (per-frame sums are consumed).
-    nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
+    nb = int(os.environ.get("RT_SUITE_BATCH", "32"))
 
     def make_render_frame():
         def render_frame(wide_, tris_, qn_, seed):
@@ -309,7 +322,7 @@ def config4(frames):
 
     # on-device frame batch — one exported call per nb frames (see config2's
     # batching note: the ~50-75 ms axon per-call boundary is not TPU time)
-    nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
+    nb = int(os.environ.get("RT_SUITE_BATCH", "32"))
     # Between-wave compaction measured NEGATIVE here in round 5 (the
     # argsort+gather glue costs more than the stream coherence it buys now
     # that waves run in tile-block lane order with lane parking — PERF.md
@@ -435,7 +448,7 @@ def config5(frames):
 
         # nb frames per exported call (each frame = refit + records + n_cam
         # traces) — the per-call axon boundary is not TPU time (see config2)
-        nb = int(os.environ.get("RT_SUITE_BATCH", "8"))
+        nb = int(os.environ.get("RT_SUITE_BATCH", "32"))
 
         def make_frame_fn():
             def frame_fn(bounds, left, right, meta, parent, order, tris_,
@@ -535,14 +548,14 @@ def config5(frames):
 def config3(frames):
     """Delegates to bench.py (the headline dragon measurement).
 
-    Uses bench.py's own default frame batch (32): an 8-frame batch leaves
+    Uses bench.py's own default frame batch (128): an 8-frame batch leaves
     ~6-9 ms/frame of axon per-call overhead inside the number (PERF.md
-    round-3 #13) — the suite must measure the same program the driver's
-    headline run does."""
+    round-3 #13, round-5 #5) — the suite must measure the same program the
+    driver's headline run does."""
     import subprocess
 
     r = subprocess.run(
-        [sys.executable, "bench.py", "--frames", str(max(frames, 32))],
+        [sys.executable, "bench.py", "--frames", str(max(frames, 128))],
         capture_output=True, text=True,
     )
     sys.stderr.write(r.stderr)
