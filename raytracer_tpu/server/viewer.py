@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import urlparse
@@ -66,7 +67,13 @@ class ViewerState:
         self._pending_mouse = [0.0, 0.0]
         self._last_input = time.monotonic()
         self._idle_published = False
-        self._inflight = None   # (device frame, scale) dispatched last step
+        # 2-deep streaming pipeline: the device→host pull of frame i runs on
+        # a worker thread (network-bound — the tunnel transfer releases the
+        # GIL) while the main loop PNG-encodes frame i−1 (CPU-bound), and
+        # frame i+1's render is already dispatched on device. Throughput ≈
+        # max(pull, encode) instead of render + pull + encode.
+        self._pull_pool = ThreadPoolExecutor(max_workers=1)
+        self._pull_future = None   # in-flight (future -> np img), + scale
         self._stop = threading.Event()
 
     # -- input ------------------------------------------------------------
@@ -113,21 +120,18 @@ class ViewerState:
         else:
             dev = self.tracer.render()
         if active:
-            # Pipelined streaming (verdict r4 #9): frame i+1's device render
-            # is DISPATCHED (async, no block) before frame i is pulled over
-            # the ~16 MB/s tunnel and zlib'd, so TPU render and host
-            # pull+encode overlap — throughput ≈ max(render, pull) instead
-            # of their sum, for one frame of extra latency the polling <img>
-            # never notices.
-            prev = self._inflight or (dev, scale)
-            self._inflight = (dev, scale)
+            prev = self._pull_future
+            self._pull_future = (
+                self._pull_pool.submit(np.asarray, dev), scale)
+            if prev is None:
+                prev = self._pull_future   # first streamed frame: no overlap
         else:
             # idle: publish THIS full-res frame synchronously, then park —
             # a stale in-flight streaming frame must not overwrite it
-            prev = (dev, scale)
-            self._inflight = None
-        pdev, pscale = prev
-        img = np.asarray(pdev)
+            prev = (self._pull_pool.submit(np.asarray, dev), scale)
+            self._pull_future = None
+        fut, pscale = prev
+        img = fut.result()     # frame i−1: its pull overlapped our encode
         if pscale == 1:
             img = img[..., :3]
         png = encode_png(img, level=1)   # speed > size for streaming
@@ -155,6 +159,7 @@ class ViewerState:
 
     def stop(self) -> None:
         self._stop.set()
+        self._pull_pool.shutdown(wait=False)
 
 
 def make_viewer_server(state: ViewerState, port: int = VIEWER_PORT,

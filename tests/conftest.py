@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the test tier: XLA:CPU's in-process LLVM JIT
+# segfaults after ~70 tests' worth of accumulated compilations (reproduced
+# deterministically at test_packed_leaf_parity; the faulthandler stack dies
+# inside backend_compile_and_load, i.e. in compilation, not in any kernel).
+# Cache hits skip the LLVM path entirely, and clear_caches() between modules
+# (below) bounds the executables a single process keeps alive.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tests")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -35,6 +46,16 @@ if not _bvhtool.ensure_built(log=print):
         "tests must not silently skip it")
 
 REFERENCE_ASSETS = "/root/reference/public/assets"
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_process_state():
+    """Drop compiled executables between test modules (see cache note
+    above). Modules are independent; within-module jit reuse — where the
+    real wins are — is unaffected, and the persistent cache makes any
+    cross-module recompile a disk hit."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
