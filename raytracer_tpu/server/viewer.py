@@ -72,7 +72,10 @@ class ViewerState:
         # GIL) while the main loop PNG-encodes frame i−1 (CPU-bound), and
         # frame i+1's render is already dispatched on device. Throughput ≈
         # max(pull, encode) instead of render + pull + encode.
-        self._pull_pool = ThreadPoolExecutor(max_workers=1)
+        # 2 workers: consecutive frames' pulls overlap in flight, so the
+        # tunnel round-trip latency (~45-50 ms — scale-insensitive, measured
+        # tools/mb_viewer_fps.py) pipelines instead of serializing
+        self._pull_pool = ThreadPoolExecutor(max_workers=2)
         self._pull_future = None   # in-flight (future -> np img), + scale
         self._stop = threading.Event()
 
@@ -121,6 +124,9 @@ class ViewerState:
             dev = self.tracer.render()
         if active:
             prev = self._pull_future
+            # submit frame i's pull BEFORE waiting frame i−1's: with two
+            # pool workers both transfers ride the tunnel concurrently, so
+            # the wait below is max(0, pull − step) instead of a full pull
             self._pull_future = (
                 self._pull_pool.submit(np.asarray, dev), scale)
             if prev is None:
